@@ -1,0 +1,192 @@
+"""Fixed-shape, fully on-device greedy NMS.
+
+TPU-native replacement for the reference's three NMS paths (Cython
+`lib/utils/cython_nms.pyx:17-68`, CUDA `lib/utils/nms_kernel.cu:24-144`, and
+the pure-python fallback in `lib/fast_rcnn/nms_wrapper.py:23-47`). Exact
+greedy semantics are preserved: boxes sorted by score descending, a box is
+suppressed when its IoU with an already-kept earlier box is ``>= thresh``,
+areas use the +1 pixel convention.
+
+Design (instead of the reference's host loop / CUDA bitmask + host merge):
+
+1. **Bitmask build** — an (N, N/32) uint32 matrix where bit ``j`` of row ``i``
+   says "i suppresses j" (``j > i`` and IoU >= thresh). Built either by a
+   Pallas kernel (`ctpn_tpu/ops/nms_pallas.py`, the port of the CUDA kernel
+   idea to the TPU VPU/MXU) or by a blocked jnp fallback that runs anywhere.
+
+2. **Fixed-point merge** — greedy keep is the unique solution of
+   ``keep[i] = not any(keep[j] and mask[j, i] for j < i)``. Iterating this
+   from all-active converges to greedy in at most depth-of-suppression-chain
+   steps (the same self-suppression trick TF uses for TPU NMS), expressed as
+   a `lax.while_loop` over cheap uint32 bit ops — no O(N) sequential scan.
+
+Everything is static-shape: invalid (padding) boxes carry ``valid=False`` and
+never suppress nor survive.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctpn_tpu.ops.iou import pairwise_iou
+
+BITS = 32
+
+
+def _num_words(n: int) -> int:
+    return (n + BITS - 1) // BITS
+
+
+def suppression_bitmask_jnp(
+    boxes: jnp.ndarray, valid: jnp.ndarray, thresh: float, block: int = 512
+) -> jnp.ndarray:
+    """(N, W32) uint32 bitmask: bit j of row i <=> i suppresses j (j > i).
+
+    Blocked over rows so the N x N IoU matrix is never materialized at once.
+    ``boxes`` must already be in score-descending order.
+    """
+    n = boxes.shape[0]
+    n_pad = _num_words(n) * BITS
+    nblocks = (n + block - 1) // block
+    n_rows = nblocks * block
+    boxes_p = jnp.pad(boxes, ((0, n_rows - n), (0, 0)))
+    valid_p = jnp.pad(valid, (0, n_rows - n))
+    col_idx = jnp.arange(n_pad)
+    col_valid = jnp.pad(valid, (0, n_pad - n))
+    boxes_col = jnp.pad(boxes, ((0, n_pad - n), (0, 0)))
+    shifts = (col_idx % BITS).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << shifts).astype(jnp.uint32)
+
+    def row_block(b):
+        row0 = b * block
+        rows = jax.lax.dynamic_slice(boxes_p, (row0, 0), (block, 4))
+        rvalid = jax.lax.dynamic_slice(valid_p, (row0,), (block,))
+        iou = pairwise_iou(rows, boxes_col)  # (block, n_pad)
+        ridx = row0 + jnp.arange(block)
+        supp = (
+            (iou >= thresh)
+            & (col_idx[None, :] > ridx[:, None])
+            & rvalid[:, None]
+            & col_valid[None, :]
+        )
+        vals = jnp.where(supp, weights[None, :], jnp.uint32(0))
+        words = vals.reshape(block, n_pad // BITS, BITS)
+        return jax.lax.reduce(
+            words, np.uint32(0), jax.lax.bitwise_or, (2,)
+        )  # (block, W32)
+
+    mask = jax.lax.map(row_block, jnp.arange(nblocks))
+    return mask.reshape(n_rows, n_pad // BITS)[:n]
+
+
+def nms_fixed_point(mask: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Resolve the greedy keep set from a suppression bitmask.
+
+    mask: (N, W32) uint32, row i's bits = boxes i suppresses (all j > i).
+    valid: (N,) bool. Returns keep: (N,) bool in the same (sorted) order.
+    """
+    n = mask.shape[0]
+    w32 = mask.shape[1]
+    self_word = jnp.arange(n) // BITS
+    self_shift = (jnp.arange(n) % BITS).astype(jnp.uint32)
+
+    def step(active):
+        # OR of mask rows of currently-active boxes -> suppressed bit per col
+        masked = jnp.where(active[:, None], mask, jnp.uint32(0))
+        supp_words = jax.lax.reduce(
+            masked, np.uint32(0), jax.lax.bitwise_or, (0,)
+        )  # (W32,)
+        bits = (supp_words[self_word] >> self_shift) & jnp.uint32(1)
+        return valid & (bits == 0)
+
+    def cond(state):
+        active, prev_changed, it = state
+        return prev_changed & (it < n)
+
+    def body(state):
+        active, _, it = state
+        new = step(active)
+        return new, jnp.any(new != active), it + 1
+
+    active0 = valid
+    active, _, _ = jax.lax.while_loop(cond, body, (active0, jnp.bool_(True), 0))
+    return active
+
+
+def nms_keep_sorted(
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    thresh: float,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Greedy-NMS keep mask for boxes already sorted by score descending."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from ctpn_tpu.ops.nms_pallas import suppression_bitmask_pallas
+
+        mask = suppression_bitmask_pallas(boxes, valid, thresh)
+    else:
+        mask = suppression_bitmask_jnp(boxes, valid, thresh)
+    return nms_fixed_point(mask, valid)
+
+
+def nms_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    thresh: float,
+    valid: Optional[jnp.ndarray] = None,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Greedy-NMS keep mask in the ORIGINAL box order.
+
+    Semantically equivalent to reference ``nms(np.hstack((boxes, scores)), t)``
+    (`nms_wrapper.py:11-20`) returning a membership mask instead of an index
+    list. Ties in score are broken toward the larger original index, matching
+    NumPy's ``argsort()[::-1]`` of the reference.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    # reference order: np.argsort(scores)[::-1] — score desc, ties by
+    # descending original index (reverse of a stable ascending sort)
+    order = jnp.flip(jnp.argsort(scores, stable=True))
+    sorted_boxes = boxes[order]
+    sorted_valid = valid[order]
+    keep_sorted = nms_keep_sorted(sorted_boxes, sorted_valid, thresh, use_pallas)
+    keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
+    return keep
+
+
+def nms_keep_indices(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    thresh: float,
+    max_out: int,
+    valid: Optional[jnp.ndarray] = None,
+    use_pallas: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Padded keep indices in score-descending order + valid count.
+
+    Fixed-shape analogue of the reference's ``keep`` index list: returns
+    ``(indices[max_out] int32, count)`` where entries beyond ``count`` are 0.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    order = jnp.flip(jnp.argsort(scores, stable=True))
+    sorted_boxes = boxes[order]
+    sorted_valid = valid[order]
+    keep_sorted = nms_keep_sorted(sorted_boxes, sorted_valid, thresh, use_pallas)
+    count = jnp.sum(keep_sorted.astype(jnp.int32))
+    # compact: kept sorted positions first, original order preserved
+    key = jnp.where(keep_sorted, jnp.arange(n), n + jnp.arange(n))
+    compact = jnp.argsort(key)[:max_out]
+    idx = order[compact]
+    slot_valid = jnp.arange(max_out) < count
+    return jnp.where(slot_valid, idx, 0).astype(jnp.int32), count

@@ -1,0 +1,143 @@
+"""Pallas TPU kernel for the NMS suppression bitmask.
+
+TPU-native port of the idea in the reference CUDA kernel
+(`lib/utils/nms_kernel.cu:34-78`): tile the N x N "box i suppresses box j"
+relation and emit packed bitmasks. Differences from the CUDA design, driven
+by TPU hardware:
+
+* Tiles are (TI, TJ) = (256, 1024) VPU-shaped blocks instead of 64-thread
+  blocks; IoU for the whole tile is one broadcast expression on the VPU.
+* Bit packing cannot shuffle lanes cheaply on the VPU, so bits are packed
+  with an MXU matmul: ``supp_f32 @ P`` where ``P[k, w] = 2^(k % 8)`` for
+  ``k // 8 == w`` — one 256x1024x128 matmul per tile yields exact byte
+  values (<= 255, exactly representable in f32). Bytes are combined into
+  uint32 words by the caller (cheap XLA elementwise pass). The packed output
+  block is (256, 128): aligned to the (8, 128) f32 tile grid.
+* The sequential host-side mask merge of the reference
+  (`nms_kernel.cu:124-139`) is replaced by the fixed-point resolve in
+  `ctpn_tpu/ops/nms.py::nms_fixed_point` — fully on device.
+
+Boxes are passed transposed as an (8, N) f32 array (rows x1,y1,x2,y2,valid)
+so the lane dimension is N — the natural TPU layout for per-box scalars.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_I = 256
+TILE_J = 1024
+PACK = 8  # bits per packed byte
+BITS_PER_WORD = 32
+
+
+def _pack_matrix(tj: int) -> np.ndarray:
+    """(TJ, TJ/8) f32: column w collects bits 8w..8w+7 with weights 2^b."""
+    p = np.zeros((tj, tj // PACK), dtype=np.float32)
+    for k in range(tj):
+        p[k, k // PACK] = float(1 << (k % PACK))
+    return p
+
+
+def _bitmask_kernel(boxes_i_ref, boxes_j_ref, pack_ref, out_ref, *, thresh: float):
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    # a tile can only carry bits when some col index j exceeds some row i
+    tile_live = (bj * TILE_J + TILE_J - 1) > (bi * TILE_I)
+
+    @pl.when(tile_live)
+    def _():
+        bx = boxes_i_ref[:]  # (8, TILE_I)
+        by = boxes_j_ref[:]  # (8, TILE_J)
+        ix1, iy1, ix2, iy2, ivalid = bx[0], bx[1], bx[2], bx[3], bx[4]
+        jx1, jy1, jx2, jy2, jvalid = by[0], by[1], by[2], by[3], by[4]
+
+        iw = (
+            jnp.minimum(ix2[:, None], jx2[None, :])
+            - jnp.maximum(ix1[:, None], jx1[None, :])
+            + 1.0
+        )
+        ih = (
+            jnp.minimum(iy2[:, None], jy2[None, :])
+            - jnp.maximum(iy1[:, None], jy1[None, :])
+            + 1.0
+        )
+        inter = jnp.maximum(iw, 0.0) * jnp.maximum(ih, 0.0)
+        area_i = (ix2 - ix1 + 1.0) * (iy2 - iy1 + 1.0)
+        area_j = (jx2 - jx1 + 1.0) * (jy2 - jy1 + 1.0)
+        union = jnp.maximum(area_i[:, None] + area_j[None, :] - inter, 1e-10)
+        iou = inter / union
+
+        row_g = bi * TILE_I + jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_I, TILE_J), 0
+        )
+        col_g = bj * TILE_J + jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_I, TILE_J), 1
+        )
+        supp = (
+            (iou >= thresh)
+            & (col_g > row_g)
+            & (ivalid[:, None] > 0.5)
+            & (jvalid[None, :] > 0.5)
+        )
+        bytes_f = jnp.dot(
+            supp.astype(jnp.float32), pack_ref[:], preferred_element_type=jnp.float32
+        )  # (TILE_I, TILE_J/8), exact byte values
+        out_ref[:] = bytes_f.astype(jnp.int32)
+
+    @pl.when(jnp.logical_not(tile_live))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("thresh", "interpret"))
+def suppression_bitmask_pallas(
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    thresh: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(N, ceil(N/32)) uint32 suppression bitmask via the Pallas tile kernel.
+
+    ``boxes`` (N, 4) must be sorted by score descending; ``valid`` (N,) bool.
+    """
+    n = boxes.shape[0]
+    n_pad = ((n + TILE_J - 1) // TILE_J) * TILE_J
+    bt = jnp.zeros((8, n_pad), dtype=jnp.float32)
+    bt = bt.at[0:4, :n].set(boxes.T.astype(jnp.float32))
+    bt = bt.at[4, :n].set(valid.astype(jnp.float32))
+
+    pack = jnp.asarray(_pack_matrix(TILE_J))
+
+    bytes_i32 = pl.pallas_call(
+        functools.partial(_bitmask_kernel, thresh=float(thresh)),
+        grid=(n_pad // TILE_I, n_pad // TILE_J),
+        in_specs=[
+            pl.BlockSpec((8, TILE_I), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE_J), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (TILE_J, TILE_J // PACK),
+                lambda i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_I, TILE_J // PACK),
+            lambda i, j: (i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad // PACK), jnp.int32),
+        interpret=interpret,
+    )(bt, bt, pack)
+
+    # combine 4 bytes -> uint32 words (byte b holds bits 8b..8b+7 of its word)
+    b = bytes_i32.astype(jnp.uint32).reshape(n_pad, n_pad // BITS_PER_WORD, 4)
+    words = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
+    w_need = (n + BITS_PER_WORD - 1) // BITS_PER_WORD
+    return words[:n, :w_need]

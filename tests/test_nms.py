@@ -1,0 +1,95 @@
+"""NMS parity: on-device fixed-point NMS vs greedy numpy oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctpn_tpu.ops import nms as N
+from ctpn_tpu.ops.nms_pallas import suppression_bitmask_pallas
+from ctpn_tpu.utils import host_ref as H
+from tests.conftest import random_boxes
+
+
+def _dets(rng, n, **kw):
+    boxes = random_boxes(rng, n, **kw)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    return boxes, scores
+
+
+@pytest.mark.parametrize("thresh", [0.2, 0.5, 0.7])
+@pytest.mark.parametrize("n", [1, 7, 63, 300])
+def test_nms_mask_matches_oracle(rng, thresh, n):
+    boxes, scores = _dets(rng, n, max_wh=80)
+    dets = np.hstack([boxes, scores[:, None]])
+    want = set(H.py_nms(dets, thresh))
+    keep = np.asarray(N.nms_mask(jnp.asarray(boxes), jnp.asarray(scores), thresh))
+    got = set(np.flatnonzero(keep).tolist())
+    assert got == want
+
+
+def test_nms_dense_overlaps(rng):
+    # heavy overlap regime: many boxes around few cluster centers
+    centers = random_boxes(rng, 8, max_wh=60)
+    boxes = np.repeat(centers, 40, axis=0)
+    boxes += rng.uniform(-4, 4, boxes.shape).astype(np.float32)
+    boxes[:, 2] = np.maximum(boxes[:, 2], boxes[:, 0] + 1)
+    boxes[:, 3] = np.maximum(boxes[:, 3], boxes[:, 1] + 1)
+    scores = rng.uniform(0, 1, len(boxes)).astype(np.float32)
+    dets = np.hstack([boxes, scores[:, None]]).astype(np.float32)
+    for thresh in (0.3, 0.7):
+        want = set(H.py_nms(dets, thresh))
+        keep = np.asarray(N.nms_mask(jnp.asarray(boxes), jnp.asarray(scores), thresh))
+        assert set(np.flatnonzero(keep).tolist()) == want
+
+
+def test_nms_respects_validity_mask(rng):
+    boxes, scores = _dets(rng, 50)
+    valid = np.arange(50) < 30
+    keep = np.asarray(
+        N.nms_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.5, jnp.asarray(valid))
+    )
+    assert not keep[30:].any()
+    # kept set over the valid prefix == oracle on just those boxes
+    dets = np.hstack([boxes[:30], scores[:30, None]])
+    want = set(H.py_nms(dets, 0.5))
+    assert set(np.flatnonzero(keep[:30]).tolist()) == want
+
+
+def test_nms_keep_indices_order_and_count(rng):
+    boxes, scores = _dets(rng, 120)
+    dets = np.hstack([boxes, scores[:, None]])
+    want = H.py_nms(dets, 0.5)  # ordered by descending score
+    idx, count = N.nms_keep_indices(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_out=64
+    )
+    count = int(count)
+    assert count == len(want)
+    np.testing.assert_array_equal(np.asarray(idx)[: min(count, 64)], want[:64])
+
+
+def test_bitmask_jnp_vs_pallas_interpret(rng):
+    boxes, scores = _dets(rng, 300)
+    order = np.argsort(scores, kind="stable")[::-1]
+    sb = jnp.asarray(boxes[order])
+    valid = jnp.ones(300, dtype=bool)
+    want = np.asarray(N.suppression_bitmask_jnp(sb, valid, 0.5))
+    got = np.asarray(suppression_bitmask_pallas(sb, valid, 0.5, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nms_single_and_empty():
+    b1 = jnp.asarray(np.array([[0, 0, 10, 10]], np.float32))
+    s1 = jnp.asarray(np.array([0.9], np.float32))
+    assert np.asarray(N.nms_mask(b1, s1, 0.5)).tolist() == [True]
+    # all-invalid input keeps nothing
+    keep = N.nms_mask(b1, s1, 0.5, valid=jnp.zeros(1, dtype=bool))
+    assert not np.asarray(keep).any()
+
+
+def test_nms_score_ties_match_reference_order(rng):
+    boxes = random_boxes(rng, 40, max_wh=100)
+    scores = np.full(40, 0.5, np.float32)  # all tied
+    dets = np.hstack([boxes, scores[:, None]])
+    want = set(H.py_nms(dets, 0.4))
+    keep = np.asarray(N.nms_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.4))
+    assert set(np.flatnonzero(keep).tolist()) == want
