@@ -12,6 +12,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# a sitecustomize hook may have force-registered a TPU tunnel backend and
+# overridden jax_platforms to "axon,cpu"; pin it back before backends init
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
