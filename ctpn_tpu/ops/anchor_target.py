@@ -65,7 +65,9 @@ def _sample_to_cap(rng, eligible: jnp.ndarray, cap) -> jnp.ndarray:
     static_argnames=(
         "feat_h",
         "feat_w",
+        "fg_fraction",
         "rpn_batchsize",
+        "inside_weights",
         "clobber_positives",
         "preclude_hard",
     ),

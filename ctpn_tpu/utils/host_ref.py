@@ -139,3 +139,95 @@ def clip_boxes_np(boxes: np.ndarray, im_shape) -> np.ndarray:
     out[:, 0::2] = np.clip(out[:, 0::2], 0, im_shape[1] - 1)
     out[:, 1::2] = np.clip(out[:, 1::2], 0, im_shape[0] - 1)
     return out
+
+
+def proposal_layer_np(
+    cls_prob: np.ndarray,
+    bbox_pred: np.ndarray,
+    im_info,
+    anchors: np.ndarray,
+    pre_nms_top_n: int = 12000,
+    post_nms_top_n: int = 1000,
+    nms_thresh: float = 0.7,
+    min_size: int = 8,
+):
+    """Host oracle of the reference proposal pipeline.
+
+    Mirrors `lib/rpn_msr/proposal_layer_tf.py:14-157` step for step on
+    (H, W, A) fg probs / (H, W, A*4) deltas for ONE image. Returns the (M, 5)
+    [score, x1, y1, x2, y2] blob.
+    """
+    k = anchors.shape[0]
+    scores = cls_prob.reshape(k).astype(np.float32)
+    deltas = bbox_pred.reshape(k, 4).astype(np.float32)
+    proposals = bbox_transform_inv_np(anchors.astype(np.float32), deltas)
+    proposals = clip_boxes_np(proposals, im_info[:2])
+    ws = proposals[:, 2] - proposals[:, 0] + 1
+    hs = proposals[:, 3] - proposals[:, 1] + 1
+    msz = min_size * im_info[2]
+    keep = np.where((ws >= msz) & (hs >= msz))[0]
+    proposals, scores = proposals[keep], scores[keep]
+    order = scores.ravel().argsort(kind="stable")[::-1]
+    if pre_nms_top_n > 0:
+        order = order[:pre_nms_top_n]
+    proposals, scores = proposals[order], scores[order]
+    keep = py_nms(np.hstack([proposals, scores[:, None]]), nms_thresh)
+    if post_nms_top_n > 0:
+        keep = keep[:post_nms_top_n]
+    proposals, scores = proposals[keep], scores[keep]
+    return np.hstack([scores[:, None], proposals]).astype(np.float32)
+
+
+def anchor_target_np(
+    anchors: np.ndarray,
+    gt_boxes: np.ndarray,
+    gt_ishard: np.ndarray,
+    dontcare: np.ndarray,
+    im_info,
+    positive_overlap: float = 0.7,
+    negative_overlap: float = 0.3,
+    dontcare_hi: float = 0.5,
+    preclude_hard: bool = True,
+):
+    """Host oracle of the label-assignment stage of the reference
+    `anchor_target_layer` (`anchor_target_layer_tf.py:82-175`), BEFORE
+    subsampling (which is random in both implementations).
+
+    Returns (labels, argmax_gt, inside_mask) over ALL anchors, with the
+    unmap fill (-1) applied. Diverges from the reference in one guarded
+    spot: a gt whose max overlap is exactly 0 does not promote anchors to
+    fg (the reference's ``overlaps == gt_max`` comparison would mark every
+    zero-overlap anchor — a known faster-rcnn quirk we do not reproduce).
+    """
+    k = anchors.shape[0]
+    inside = np.where(
+        (anchors[:, 0] >= 0)
+        & (anchors[:, 1] >= 0)
+        & (anchors[:, 2] < im_info[1])
+        & (anchors[:, 3] < im_info[0])
+    )[0]
+    an = anchors[inside]
+    labels = np.full(len(inside), -1, dtype=np.int64)
+    overlaps = bbox_overlaps_np(an, gt_boxes[:, :4])
+    argmax_gt = overlaps.argmax(axis=1)
+    max_overlaps = overlaps[np.arange(len(inside)), argmax_gt]
+    gt_max = overlaps.max(axis=0)
+    labels[max_overlaps < negative_overlap] = 0
+    gt_argmax = np.where((overlaps == gt_max[None, :]) & (gt_max[None, :] > 0))[0]
+    labels[gt_argmax] = 1
+    labels[max_overlaps >= positive_overlap] = 1
+    if dontcare is not None and len(dontcare) > 0:
+        frac = bbox_intersections_np(dontcare, an)
+        labels[frac.sum(axis=0) > dontcare_hi] = -1
+    if preclude_hard and gt_ishard is not None and gt_ishard.sum() > 0:
+        hard = gt_boxes[gt_ishard.astype(bool), :4]
+        ho = bbox_overlaps_np(hard, an)
+        labels[ho.max(axis=0) >= positive_overlap] = -1
+        labels[ho.argmax(axis=1)] = -1
+    full = np.full(k, -1, dtype=np.int64)
+    full[inside] = labels
+    full_argmax = np.zeros(k, dtype=np.int64)
+    full_argmax[inside] = argmax_gt
+    inside_mask = np.zeros(k, dtype=bool)
+    inside_mask[inside] = True
+    return full, full_argmax, inside_mask
