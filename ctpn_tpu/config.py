@@ -171,7 +171,8 @@ def _default_cfg() -> AttrDict:
     p = AttrDict()
     # (height, width) padding buckets; inputs pad to the smallest fitting
     # bucket so every compiled shape is static. Multiples of 16 (stride).
-    p.BUCKETS = [[608, 912], [608, 1216], [912, 608], [1216, 608]]
+    # Cover the TEST resize envelope (short 600 / long <= 1000) both ways.
+    p.BUCKETS = [[608, 608], [608, 912], [608, 1024], [912, 608], [1024, 608]]
     p.COMPUTE_DTYPE = "bfloat16"  # conv/matmul compute dtype
     p.PARAM_DTYPE = "float32"
     p.MAX_GT = 512  # padded ground-truth strips per image

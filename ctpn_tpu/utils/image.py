@@ -1,0 +1,105 @@
+"""Image preprocessing: resize, mean-subtract, shape-bucket padding.
+
+Host-side analogue of the reference's two-stage resize
+(`ctpn/demo.py:21-25` short-side SCALE capped at MAX_SCALE, then
+`lib/fast_rcnn/test.py:7-31` short-side TEST.SCALES capped at MAX_SIZE) and
+`lib/utils/blob.py:21-38` mean subtraction.
+
+TPU-first difference: instead of feeding variable shapes (a recompile per
+size), resized images are padded into a small set of static buckets
+(cfg.TPU.BUCKETS) with the true extent carried in ``im_info`` — every bucket
+shape compiles once. Mean subtraction happens on device inside the jit
+program (fused into the first conv's input pipeline).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ctpn_tpu.config import cfg
+
+
+def resize_im(im: np.ndarray, scale: int, max_scale: int = None) -> Tuple[np.ndarray, float]:
+    """Scale so the short side is ``scale``, capped so the long side stays
+    <= ``max_scale``. Returns (resized, factor). Same contract as
+    `demo.py:21-25`."""
+    f = float(scale) / min(im.shape[0], im.shape[1])
+    if max_scale is not None and f * max(im.shape[0], im.shape[1]) > max_scale:
+        f = float(max_scale) / max(im.shape[0], im.shape[1])
+    new_w = int(im.shape[1] * f)
+    new_h = int(im.shape[0] * f)
+    pil = Image.fromarray(im.astype(np.uint8))
+    out = np.asarray(pil.resize((new_w, new_h), Image.BILINEAR))
+    return out, f
+
+
+def pick_bucket(h: int, w: int, buckets: Sequence[Sequence[int]] = None) -> Tuple[int, int]:
+    """Smallest-area bucket containing (h, w); falls back to the largest."""
+    buckets = buckets or cfg.TPU.BUCKETS
+    fitting = [(bh * bw, bh, bw) for bh, bw in buckets if bh >= h and bw >= w]
+    if fitting:
+        _, bh, bw = min(fitting)
+        return bh, bw
+    _, bh, bw = max((bh * bw, bh, bw) for bh, bw in buckets)
+    return bh, bw
+
+
+def prep_image(
+    im: np.ndarray,
+    scale: int = None,
+    max_scale: int = None,
+    bucket: Tuple[int, int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """RGB/BGR uint8 image -> (padded float32 BGR image, im_info).
+
+    Returns (bucket_h, bucket_w, 3) float32 (NOT mean-subtracted — that is
+    fused on device) and im_info [true_h, true_w, resize_factor].
+    Input is expected BGR to match the reference's cv2 convention; callers
+    loading via PIL should pass ``rgb_to_bgr`` first.
+    """
+    # defaults mirror the TEST-stage resize (`test.py:18-24`); the demo CLI
+    # additionally applies the TEXT.SCALE/MAX_SCALE pre-resize first, like
+    # the reference's demo.py -> test.py double resize
+    scale = scale or cfg.TEST.SCALES[0]
+    max_scale = max_scale or cfg.TEST.MAX_SIZE
+    resized, f = resize_im(im, scale, max_scale)
+    h, w = resized.shape[:2]
+    # clip to the hard cap in case of fallback bucket
+    bh, bw = bucket if bucket is not None else pick_bucket(h, w)
+    h2, w2 = min(h, bh), min(w, bw)
+    out = np.zeros((bh, bw, 3), dtype=np.float32)
+    out[:h2, :w2] = resized[:h2, :w2].astype(np.float32)
+    im_info = np.array([h2, w2, f], dtype=np.float32)
+    return out, im_info
+
+
+def rgb_to_bgr(im: np.ndarray) -> np.ndarray:
+    return im[..., ::-1]
+
+
+def load_image_bgr(path: str) -> np.ndarray:
+    """uint8 BGR image from disk (reference uses cv2.imread -> BGR)."""
+    with Image.open(path) as img:
+        arr = np.asarray(img.convert("RGB"))
+    return rgb_to_bgr(arr)
+
+
+def batch_images(
+    images: List[np.ndarray], bucket: Tuple[int, int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Prep + stack a list of BGR uint8 images into one bucket batch.
+
+    All images share the largest needed bucket (callers group by bucket for
+    efficiency — see data/pipeline.py).
+    """
+    preps = [prep_image(im, bucket=bucket) for im in images]
+    if bucket is None:
+        bh = max(p[0].shape[0] for p in preps)
+        bw = max(p[0].shape[1] for p in preps)
+        preps = [prep_image(im, bucket=(bh, bw)) for im in images]
+    data = np.stack([p[0] for p in preps])
+    infos = np.stack([p[1] for p in preps])
+    return data, infos

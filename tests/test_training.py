@@ -1,0 +1,117 @@
+"""Training smoke tests: loss decreases; DP step matches single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctpn_tpu.config import cfg
+from ctpn_tpu.models.ctpn import CTPN
+from ctpn_tpu.parallel.dp import replicate_state, shard_batch, shard_train_step
+from ctpn_tpu.parallel.mesh import make_mesh
+from ctpn_tpu.training.loss import ctpn_loss, smooth_l1, weight_decay_loss
+from ctpn_tpu.training.train_step import (
+    Batch,
+    build_train_step,
+    create_train_state,
+)
+
+BH, BW = 64, 80
+FH, FW = 4, 5
+
+
+def _toy_batch(rng, n):
+    """Images with a bright strip row as 'text', gt boxes on the strips."""
+    images = rng.uniform(0, 60, (n, BH, BW, 3)).astype(np.float32)
+    max_gt, max_dc = 8, 4
+    gt = np.zeros((n, max_gt, 4), np.float32)
+    gt_valid = np.zeros((n, max_gt), bool)
+    for i in range(n):
+        y = 16 + 8 * (i % 2)
+        for s in range(3):
+            x1 = 8 + 16 * s
+            gt[i, s] = [x1, y, x1 + 15, y + 24]
+            gt_valid[i, s] = True
+            images[i, y : y + 24, x1 : x1 + 16] = 220.0
+    return Batch(
+        images=images,
+        im_info=np.tile(np.array([BH, BW, 1.0], np.float32), (n, 1)),
+        gt_boxes=gt,
+        gt_valid=gt_valid,
+        gt_ishard=np.zeros((n, max_gt), bool),
+        dontcare=np.zeros((n, max_dc, 4), np.float32),
+        dontcare_valid=np.zeros((n, max_dc), bool),
+    )
+
+
+def test_smooth_l1_matches_reference_form():
+    x = jnp.asarray([-2.0, -0.1, 0.0, 0.05, 0.5, 3.0])
+    got = np.asarray(smooth_l1(x, sigma2=9.0))
+    want = np.where(
+        np.abs(np.asarray(x)) < 1 / 9.0,
+        0.5 * 9.0 * np.asarray(x) ** 2,
+        np.abs(np.asarray(x)) - 0.5 / 9.0,
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_weight_decay_excludes_lstm_and_biases(rng):
+    model = CTPN(dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, BH, BW, 3)))["params"]
+    wd = weight_decay_loss(params, 1.0)
+    # manual: sum over conv/dense kernels excluding bilstm lstm weights
+    total = 0.0
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    for path, leaf in flat:
+        name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
+        if "kernel" in name and not any(
+            f in name for f in ("input_proj", "w_h_fw", "w_h_bw")
+        ):
+            total += 0.5 * float(np.sum(np.square(np.asarray(leaf))))
+    assert float(wd) == pytest.approx(total, rel=1e-5)
+
+
+def test_loss_decreases_on_toy_data(rng):
+    cfg.TRAIN.LEARNING_RATE = 3e-4  # speed up the smoke test
+    model = CTPN(dtype=jnp.float32)
+    state = create_train_state(jax.random.PRNGKey(0), model, (1, BH, BW, 3))
+    step = jax.jit(build_train_step(model, FH, FW))
+    batch = _toy_batch(rng, 2)
+    losses = []
+    for _ in range(12):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["model_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_dp_step_matches_single_device(rng):
+    n_dev = min(4, jax.device_count())
+    assert n_dev >= 2, "conftest should provide 8 cpu devices"
+    model = CTPN(dtype=jnp.float32)
+    state0 = create_train_state(jax.random.PRNGKey(1), model, (1, BH, BW, 3))
+    batch = _toy_batch(rng, n_dev)
+    step_fn = build_train_step(model, FH, FW)
+
+    # single device
+    s1, m1 = jax.jit(step_fn)(state0, batch)
+
+    # sharded over mesh
+    mesh = make_mesh(jax.devices()[:n_dev])
+    with mesh:
+        sN_state = replicate_state(state0, mesh)
+        sN, mN = shard_train_step(step_fn, mesh)(sN_state, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(
+        float(m1["model_loss"]), float(mN["model_loss"]), rtol=1e-4
+    )
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    lN = jax.tree_util.tree_leaves(sN.params)
+    for a, b in zip(l1, lN):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(min(4, jax.device_count()))
