@@ -1,0 +1,127 @@
+"""Data layer tests: prepare pipeline, VOC loading, minibatch assembly."""
+
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ctpn_tpu.config import cfg
+from ctpn_tpu.data.minibatch import RoIDataLayer, assemble_batch
+from ctpn_tpu.data.prepare import split_labels, split_polygon_to_strips, to_voc
+from ctpn_tpu.data.roidb import get_training_roidb, prepare_roidb
+from ctpn_tpu.data.voc import PascalVOC, get_imdb, list_imdbs
+
+
+def _make_raw_dataset(root, rng, n=3, size=(320, 240)):
+    """Raw images + ICDAR-style gt polygons."""
+    img_dir = osp.join(root, "image")
+    gt_dir = osp.join(root, "label")
+    os.makedirs(img_dir)
+    os.makedirs(gt_dir)
+    for i in range(n):
+        w, h = size
+        arr = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(osp.join(img_dir, f"img{i}.jpg"))
+        with open(osp.join(gt_dir, f"gt_img{i}.txt"), "w") as f:
+            # two horizontal-ish text polygons
+            f.write("20,30,200,30,200,60,20,60,hello\n")
+            f.write("40,100,280,105,280,140,40,135,world\n")
+    return img_dir, gt_dir
+
+
+@pytest.fixture
+def voc_tree(tmp_path, rng):
+    img_dir, gt_dir = _make_raw_dataset(str(tmp_path), rng)
+    re_img = osp.join(str(tmp_path), "re_image")
+    labels = osp.join(str(tmp_path), "label_tmp")
+    stems = split_labels(img_dir, gt_dir, re_img, labels)
+    assert len(stems) == 3
+    devkit = osp.join(str(tmp_path), "VOCdevkit2007")
+    to_voc(labels, re_img, osp.join(devkit, "VOC2007"))
+    return devkit
+
+
+def test_strip_splitting_grid_alignment():
+    # polygon x in [10, 75] -> strips [10,15],[16,31],[32,47],[48,63],[64,75]
+    strips = split_polygon_to_strips([10, 5, 75, 5, 75, 40, 10, 40], 100, 200)
+    xs = [(s[0], s[2]) for s in strips]
+    assert xs == [(10, 15), (16, 31), (32, 47), (48, 63), (64, 75)]
+    assert all(s[1] == 5 and s[3] == 40 for s in strips)
+
+    # grid-aligned xmin keeps the first full strip; the final strip extends
+    # to xmax (reference grid semantics)
+    strips = split_polygon_to_strips([16, 0, 48, 0, 48, 30, 16, 30], 100, 200)
+    assert [(s[0], s[2]) for s in strips] == [(16, 31), (32, 48)]
+
+
+def test_voc_loading_and_roidb(voc_tree):
+    imdb = PascalVOC("trainval", "2007", devkit_path=voc_tree)
+    assert imdb.num_images == 3
+    roidb = imdb.gt_roidb()
+    assert len(roidb) == 3
+    for entry in roidb:
+        assert entry["boxes"].shape[1] == 4
+        assert len(entry["boxes"]) > 5  # several strips per image
+        assert (entry["gt_classes"] == 1).all()
+        # strips are 16px grid aligned except the first/last in a row
+        w = entry["boxes"][:, 2] - entry["boxes"][:, 0]
+        assert (w <= 16).all()
+
+
+def test_flip_and_training_roidb(voc_tree):
+    imdb = PascalVOC("trainval", "2007", devkit_path=voc_tree)
+    n = imdb.num_images
+    roidb = get_training_roidb(imdb)
+    assert len(roidb) == 2 * n
+    a, b = roidb[0], roidb[n]
+    assert not a["flipped"] and b["flipped"]
+    w = b["width"]
+    np.testing.assert_allclose(
+        b["boxes"][:, 0], w - a["boxes"][:, 2] - 1, atol=1e-6
+    )
+
+
+def test_minibatch_assembly(voc_tree):
+    imdb = PascalVOC("trainval", "2007", devkit_path=voc_tree)
+    roidb = get_training_roidb(imdb)
+    layer = RoIDataLayer(roidb, batch_size=2)
+    batch = layer.forward()
+    n, bh, bw, c = batch.images.shape
+    assert n == 2 and c == 3
+    assert (bh, bw) in {tuple(b) for b in cfg.TPU.BUCKETS}
+    assert batch.gt_boxes.shape == (2, cfg.TPU.MAX_GT, 4)
+    assert batch.gt_valid.any()
+    # gt scaled into the resized image and inside the true extent
+    for i in range(2):
+        g = batch.gt_boxes[i][batch.gt_valid[i]]
+        assert (g[:, 2] <= batch.im_info[i][1]).all()
+        assert (g[:, 3] <= batch.im_info[i][0]).all()
+
+
+def test_epoch_cursor_cycles(voc_tree):
+    imdb = PascalVOC("trainval", "2007", devkit_path=voc_tree)
+    prepare_roidb(imdb)
+    layer = RoIDataLayer(imdb.roidb, batch_size=2)
+    for _ in range(5):  # > one epoch of 3 images
+        batch = layer.forward()
+        assert batch.images.shape[0] == 2
+
+
+def test_factory_registry():
+    assert "voc_2007_trainval" in list_imdbs()
+    with pytest.raises(KeyError):
+        get_imdb("nonexistent_dataset")
+
+
+def test_prefetch_loader(voc_tree):
+    from ctpn_tpu.data.pipeline import PrefetchLoader
+
+    imdb = PascalVOC("trainval", "2007", devkit_path=voc_tree)
+    prepare_roidb(imdb)
+    layer = RoIDataLayer(imdb.roidb, batch_size=1)
+    loader = PrefetchLoader(layer.forward, depth=2, workers=1)
+    batches = [loader.get() for _ in range(4)]
+    assert all(b.images.shape[0] == 1 for b in batches)
+    loader.close()
