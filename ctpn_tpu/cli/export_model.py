@@ -1,0 +1,72 @@
+"""Export CLI (reference `ctpn/generate_pb.py:13-41`).
+
+Cuts a training checkpoint down to a self-contained inference artifact:
+
+    python -m ctpn_tpu.cli.export_model --ckpt <solver output dir> \
+        --out data/ctpn_artifact
+
+Also converts the reference's pretrained formats:
+    --npy VGG_imagenet.npy           (backbone bootstrap)
+    --tf-vars vars.npz               ({tf_name: array} dump of a TF ckpt)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctpn_tpu.config import cfg, cfg_from_file
+from ctpn_tpu.models.factory import get_network
+from ctpn_tpu.utils.weights import (
+    convert_tf_vars,
+    export_params,
+    load_params,
+    load_pretrained_into,
+)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Export CTPN inference artifact")
+    p.add_argument("--cfg", default=None)
+    p.add_argument("--ckpt", default=None, help="solver output dir (latest step)")
+    p.add_argument("--npy", default=None, help="VGG_imagenet.npy to convert")
+    p.add_argument("--tf-vars", default=None, help="npz of {tf_var_name: array}")
+    p.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+
+    if args.cfg:
+        cfg_from_file(args.cfg)
+
+    model = get_network("VGGnet_test")
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 608, 608, 3), jnp.float32)
+    )["params"]
+
+    if args.ckpt:
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(osp.abspath(osp.join(args.ckpt, "checkpoints")))
+        latest = mgr.latest_step()
+        if latest is None:
+            raise SystemExit(f"no checkpoints under {args.ckpt}")
+        restored = mgr.restore(latest)
+        params = restored["state"]["params"]
+        print(f"restored step {latest} from {args.ckpt}")
+    if args.npy:
+        params = load_pretrained_into(params, args.npy)
+        print(f"merged pretrained weights from {args.npy}")
+    if args.tf_vars:
+        tf_vars = dict(np.load(args.tf_vars, allow_pickle=True))
+        params = convert_tf_vars(params, tf_vars)
+        print(f"merged TF variables from {args.tf_vars}")
+
+    out = export_params(params, args.out)
+    print(f"wrote inference artifact to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -111,6 +111,7 @@ def _default_cfg() -> AttrDict:
     t.USE_FLIPPED = True
     t.BBOX_REG = True
     t.BBOX_THRESH = 0.5
+    t.BBOX_INSIDE_WEIGHTS = [0, 1, 0, 1]
     t.SNAPSHOT_ITERS = 1000
     t.SNAPSHOT_INFIX = ""
     t.SNAPSHOT_PREFIX = "VGGnet_fast_rcnn"
