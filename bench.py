@@ -48,14 +48,15 @@ def main():
         np.tile(np.array([600, 900, 1.0], np.float32), (batch, 1))
     )
 
-    # warmup / compile
+    # warmup / compile (fetch a value — block_until_ready alone does not
+    # force execution on tunnel backends)
     props, lines = detect(params, images, infos)
-    jax.block_until_ready(lines.recs)
+    np.asarray(lines.count)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         props, lines = detect(params, images, infos)
-    jax.block_until_ready(lines.recs)
+    np.asarray(lines.count)
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * iters / dt
