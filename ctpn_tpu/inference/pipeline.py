@@ -102,7 +102,9 @@ class CTPNPredictor:
         mode: Optional[str] = None,
     ):
         from ctpn_tpu.models.factory import get_network
+        from ctpn_tpu.utils.compilation import ensure_compilation_cache
 
+        ensure_compilation_cache()
         self.model = model or get_network("VGGnet_test")
         self.params = params
         self.mode = mode or cfg.TEST.DETECT_MODE

@@ -97,7 +97,12 @@ def proposal_layer(
     # compact survivors (sorted order preserved) into post_nms_top_n slots
     n = keep.shape[0]
     key = jnp.where(keep, jnp.arange(n), n + jnp.arange(n))
-    compact = jnp.argsort(key)[:post_nms_top_n]
+    compact = jnp.argsort(key)
+    if post_nms_top_n > n:  # fewer candidates than output slots: pad gather
+        compact = jnp.concatenate(
+            [compact, jnp.zeros((post_nms_top_n - n,), dtype=compact.dtype)]
+        )
+    compact = compact[:post_nms_top_n]
     count = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), post_nms_top_n)
     slot_valid = jnp.arange(post_nms_top_n) < count
 

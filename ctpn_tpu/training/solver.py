@@ -52,7 +52,9 @@ class SolverWrapper:
         data_parallel: bool = True,
     ):
         from ctpn_tpu.models.factory import get_network
+        from ctpn_tpu.utils.compilation import ensure_compilation_cache
 
+        ensure_compilation_cache()
         self.roidb = roidb
         self.output_dir = osp.abspath(output_dir)
         self.log_dir = osp.abspath(log_dir) if log_dir else self.output_dir
