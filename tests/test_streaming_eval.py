@@ -1,0 +1,69 @@
+"""Streaming inference runner + evaluation tool tests (CPU, tiny shapes)."""
+
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ctpn_tpu import eval as ev
+from ctpn_tpu.config import cfg
+
+
+def test_read_and_compare_result_dirs(tmp_path):
+    ref = tmp_path / "ref"
+    cand = tmp_path / "cand"
+    ref.mkdir()
+    cand.mkdir()
+    (ref / "res_a.txt").write_text("10,10,100,40\r\n200,50,400,90\r\n")
+    # candidate matches first box well, second loosely off, adds a spurious
+    (cand / "res_a.txt").write_text("11,11,99,40\r\n205,52,398,88\r\n500,500,600,520\r\n")
+    out = ev.compare_result_dirs(str(cand), str(ref))
+    assert out["reference_boxes"] == 2
+    assert out["candidate_boxes"] == 3
+    assert out["matched"] == 2
+    assert out["recall"] == 1.0
+    assert out["precision"] == pytest.approx(2 / 3)
+
+
+def test_compare_missing_candidate_file(tmp_path):
+    ref = tmp_path / "ref"
+    cand = tmp_path / "cand"
+    ref.mkdir()
+    cand.mkdir()
+    (ref / "res_b.txt").write_text("10,10,100,40\r\n")
+    out = ev.compare_result_dirs(str(cand), str(ref))
+    assert out["matched"] == 0 and out["recall"] == 0.0
+
+
+def test_stream_detect_over_directory(tmp_path, rng, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    cfg.TPU.BUCKETS = [[64, 96]]
+    cfg.TEXT.SCALE = 48
+    cfg.TEXT.MAX_SCALE = 96
+    cfg.TEST.SCALES = (48,)
+    cfg.TEST.MAX_SIZE = 96
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(5):
+        arr = rng.randint(0, 255, (96, 128, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"im{i}.jpg")
+
+    from ctpn_tpu.inference.pipeline import CTPNPredictor
+    from ctpn_tpu.inference.streaming import stream_detect
+    from ctpn_tpu.models.factory import get_network
+
+    model = get_network("VGGnet_test")
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3), jnp.float32)
+    )["params"]
+    predictor = CTPNPredictor(params)
+    paths = sorted(str(p) for p in img_dir.iterdir())
+    results = dict(stream_detect(paths, predictor, batch_size=2, workers=2))
+    assert set(results) == set(paths)
+    for recs in results.values():
+        assert recs.ndim == 2 and recs.shape[1] == 9
