@@ -62,6 +62,12 @@ def main(argv=None):
     p.add_argument("--images", default="data/demo")
     p.add_argument("--output", default="data/results")
     p.add_argument("--mode", default=None, choices=[None, "H", "O"])
+    p.add_argument(
+        "--host-postprocess",
+        action="store_true",
+        help="run proposal decode + connector on the host (demo_pb.py parity "
+        "mode: the device program stops at the raw head outputs)",
+    )
     args = p.parse_args(argv)
 
     if args.cfg:
@@ -98,7 +104,10 @@ def main(argv=None):
     for path in paths:
         im = load_image_bgr(path)
         timer.tic()
-        recs = predictor.detect_image(im)
+        if args.host_postprocess:
+            recs = predictor.detect_image_host(im)
+        else:
+            recs = predictor.detect_image(im)
         dt = timer.toc(average=False)
         stem = osp.splitext(osp.basename(path))[0]
         draw_and_save(

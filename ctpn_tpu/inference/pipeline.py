@@ -140,6 +140,46 @@ class CTPNPredictor:
     def detect_path(self, path: str) -> np.ndarray:
         return self.detect_image(load_image_bgr(path))
 
+    def detect_image_host(self, im_bgr: np.ndarray) -> np.ndarray:
+        """demo_pb.py parity mode: device runs only up to the raw head
+        tensors; proposal decode and the text connector run on the host
+        (NumPy oracles / native C++), like the frozen-graph flow
+        (`demo_pb.py:73-98`)."""
+        from ctpn_tpu.ops.anchors import shifted_anchors
+        from ctpn_tpu.postprocess.oracle import detect_np
+        from ctpn_tpu.utils.host_ref import proposal_layer_np
+
+        resized, f1 = resize_im(im_bgr, cfg.TEXT.SCALE, cfg.TEXT.MAX_SCALE)
+        data, info = prep_image(resized)
+        if not hasattr(self, "_fwd_fns"):
+            self._fwd_fns = {}
+        shape = data.shape[:2]
+        if shape not in self._fwd_fns:
+            self._fwd_fns[shape] = jax.jit(
+                lambda p, x: forward_features(self.model, p, x)
+            )
+        outs = self._fwd_fns[shape](self.params, jnp.asarray(data[None]))
+        th, tw = int(info[0]) // 16, int(info[1]) // 16
+        prob = np.asarray(outs.cls_prob[0])[:th, :tw]
+        pred = np.asarray(outs.bbox_pred[0])[:th, :tw]
+        blob = proposal_layer_np(
+            prob, pred, info, shifted_anchors(th, tw),
+            pre_nms_top_n=cfg.TEST.RPN_PRE_NMS_TOP_N,
+            post_nms_top_n=cfg.TEST.RPN_POST_NMS_TOP_N,
+            nms_thresh=cfg.TEST.RPN_NMS_THRESH,
+            min_size=cfg.TEST.RPN_MIN_SIZE,
+        )
+        recs = detect_np(
+            blob[:, 1:5].astype(np.float64),
+            blob[:, 0].astype(np.float64),
+            info,
+            mode=self.mode,
+        ).astype(np.float64)
+        total_scale = f1 * float(info[2])
+        if len(recs):
+            recs[:, :8] /= total_scale
+        return recs
+
     def warmup(self, bucket: Optional[Tuple[int, int]] = None, batch: int = 1):
         """Compile-and-run on a gray dummy image (reference `demo.py:95-97`)."""
         bh, bw = bucket or tuple(cfg.TPU.BUCKETS[0])
