@@ -122,8 +122,12 @@ def build_train_step(model: CTPN, feat_h: int, feat_w: int):
             **at_kw,
         )
 
+        apply = state.apply_fn
+        if cfg.TPU.REMAT:
+            apply = jax.checkpoint(apply, static_argnums=())
+
         def loss_fn(params):
-            outs = state.apply_fn({"params": params}, batch.images - means)
+            outs = apply({"params": params}, batch.images - means)
             model_loss, aux = ctpn_loss(outs.cls_score, outs.bbox_pred, targets)
             reg = weight_decay_loss(params, wd)
             total = model_loss + reg
