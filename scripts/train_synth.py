@@ -1,0 +1,121 @@
+"""End-to-end validation run: synthesize data, train, export, detect, score.
+
+    python scripts/train_synth.py --iters 1000 --images 200 --root /tmp/ctpn_synth
+
+Pipeline exercised: synth generator -> prepare (strip split + VOC tree) ->
+VOC loader -> DP train -> orbax snapshot -> artifact export -> streaming
+detection on held-out images -> box-level P/R/F vs the synthetic ground
+truth (via ctpn_tpu.eval).
+"""
+
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", default="/tmp/ctpn_synth")
+    p.add_argument("--images", type=int, default=200)
+    p.add_argument("--holdout", type=int, default=16)
+    p.add_argument("--iters", type=int, default=1000)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--no-dp", action="store_true")
+    args = p.parse_args()
+
+    from ctpn_tpu.config import cfg
+    from ctpn_tpu.data.prepare import split_labels, to_voc
+    from ctpn_tpu.data.synth import generate_dataset
+
+    os.makedirs(args.root, exist_ok=True)
+
+    print("== generating synthetic dataset ==", flush=True)
+    img_dir, gt_dir = generate_dataset(
+        osp.join(args.root, "raw"), n_images=args.images + args.holdout
+    )
+    # holdout split: move the tail out of the training set
+    all_stems = sorted(
+        osp.splitext(f)[0] for f in os.listdir(img_dir) if f.endswith(".jpg")
+    )
+    holdout = all_stems[-args.holdout:]
+
+    work = osp.join(args.root, "work")
+    stems = split_labels(img_dir, gt_dir, osp.join(work, "re_image"),
+                         osp.join(work, "label_tmp"))
+    # drop holdout stems from the label dir before VOC conversion
+    for s in holdout:
+        lp = osp.join(work, "label_tmp", s + ".txt")
+        if osp.exists(lp):
+            os.remove(lp)
+    voc = osp.join(args.root, "VOCdevkit2007")
+    to_voc(osp.join(work, "label_tmp"), osp.join(work, "re_image"),
+           osp.join(voc, "VOC2007"))
+    print(f"prepared {len(stems) - len(holdout)} train images", flush=True)
+
+    print("== training ==", flush=True)
+    cfg.TRAIN.LEARNING_RATE = args.lr
+    cfg.TRAIN.SNAPSHOT_ITERS = max(200, args.iters // 2)
+    cfg.TRAIN.DISPLAY = 20
+    cfg.TRAIN.USE_FLIPPED = True
+
+    from ctpn_tpu.data.roidb import get_training_roidb
+    from ctpn_tpu.data.voc import PascalVOC
+    from ctpn_tpu.training.solver import train_net
+
+    imdb = PascalVOC("trainval", "2007", devkit_path=voc)
+    roidb = get_training_roidb(imdb)
+    out_dir = osp.join(args.root, "output")
+    metrics = train_net(
+        roidb, out_dir, max_iters=args.iters,
+        data_parallel=not args.no_dp, batch_size=args.batch,
+    )
+    print("final:", json.dumps(metrics), flush=True)
+
+    print("== export + detect holdout ==", flush=True)
+    from ctpn_tpu.cli.export_model import main as export_main
+
+    art = osp.join(args.root, "artifact")
+    export_main(["--ckpt", out_dir, "--out", art])
+
+    from ctpn_tpu.inference.pipeline import CTPNPredictor
+    from ctpn_tpu.inference.streaming import stream_detect
+    from ctpn_tpu.utils.weights import load_params
+
+    predictor = CTPNPredictor(load_params(art))
+    paths = [osp.join(img_dir, s + ".jpg") for s in holdout]
+    res_dir = osp.join(args.root, "results")
+    ref_dir = osp.join(args.root, "gt_results")
+    os.makedirs(res_dir, exist_ok=True)
+    os.makedirs(ref_dir, exist_ok=True)
+    for path, recs in stream_detect(paths, predictor, batch_size=4):
+        stem = osp.splitext(osp.basename(path))[0]
+        with open(osp.join(res_dir, f"res_{stem}.txt"), "w") as f:
+            for box in recs:
+                xs, ys = box[0:8:2], box[1:8:2]
+                f.write(f"{int(min(xs))},{int(min(ys))},{int(max(xs))},{int(max(ys))}\r\n")
+    # ground truth as res-format for the comparator
+    for s in holdout:
+        with open(osp.join(gt_dir, f"gt_{s}.txt")) as f, open(
+            osp.join(ref_dir, f"res_{s}.txt"), "w"
+        ) as out:
+            for line in f:
+                v = line.strip().split(",")[:8]
+                if len(v) == 8:
+                    xs = [float(v[i]) for i in (0, 2, 4, 6)]
+                    ys = [float(v[i]) for i in (1, 3, 5, 7)]
+                    out.write(f"{int(min(xs))},{int(min(ys))},{int(max(xs))},{int(max(ys))}\r\n")
+
+    from ctpn_tpu.eval import compare_result_dirs
+
+    score = compare_result_dirs(res_dir, ref_dir)
+    score.pop("per_file")
+    print("holdout detection vs gt:", json.dumps(score, indent=2))
+
+
+if __name__ == "__main__":
+    main()
