@@ -84,8 +84,19 @@ class PascalVOC:
         return self._roidb
 
     def gt_roidb(self) -> List[dict]:
-        """Per-image gt dicts, pickle-cached like `pascal_voc.py:83-102`."""
-        cache_file = osp.join(self.cache_path, self.name + "_gt_roidb.pkl")
+        """Per-image gt dicts, pickle-cached like `pascal_voc.py:83-102`.
+
+        Unlike the reference, the cache key is salted with the devkit path —
+        two datasets sharing a name (e.g. in tests) must not collide.
+        """
+        import hashlib
+
+        salt = hashlib.sha1(
+            osp.abspath(self._devkit_path).encode()
+        ).hexdigest()[:10]
+        cache_file = osp.join(
+            self.cache_path, f"{self.name}_{salt}_gt_roidb.pkl"
+        )
         if osp.exists(cache_file):
             with open(cache_file, "rb") as f:
                 return pickle.load(f)
