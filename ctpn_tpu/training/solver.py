@@ -74,6 +74,17 @@ class SolverWrapper:
             ),
         )
         self._metrics_path = osp.join(self.log_dir, "metrics.jsonl")
+        # optional TensorBoard scalar summaries (reference `train.py:83-88`
+        # logs the four losses); opt-in via CTPN_TPU_TENSORBOARD=1 since the
+        # TF import is heavy and must not race the JAX TPU runtime
+        self._tb = None
+        if os.environ.get("CTPN_TPU_TENSORBOARD") == "1":
+            try:
+                import tensorflow as tf  # noqa: WPS433
+
+                self._tb = tf.summary.create_file_writer(self.log_dir)
+            except Exception:
+                pass
 
     # -- checkpointing ----------------------------------------------------
     def snapshot(self, state: TrainState) -> None:
@@ -150,6 +161,14 @@ class SolverWrapper:
                     last.update(step=it + 1, sec_per_iter=timer.average_time)
                     with open(self._metrics_path, "a") as f:
                         f.write(json.dumps(last) + "\n")
+                    if self._tb is not None:
+                        import tensorflow as tf
+
+                        with self._tb.as_default():
+                            for k in ("total_loss", "model_loss",
+                                      "rpn_cls_loss", "rpn_box_loss",
+                                      "learning_rate", "grad_norm"):
+                                tf.summary.scalar(k, last[k], step=it + 1)
                     print(
                         f"iter: {it + 1} / {max_iters}, "
                         f"total loss: {last['total_loss']:.4f}, "
