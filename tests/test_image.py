@@ -1,0 +1,68 @@
+"""Image preprocessing tests: resize contract, bucket selection, batching."""
+
+import numpy as np
+import pytest
+
+from ctpn_tpu.config import cfg
+from ctpn_tpu.utils.image import (
+    batch_images,
+    pick_bucket,
+    prep_image,
+    resize_im,
+    rgb_to_bgr,
+)
+
+
+def test_resize_short_side_target(rng):
+    im = rng.randint(0, 255, (300, 450, 3)).astype(np.uint8)
+    out, f = resize_im(im, 600, 1200)
+    # short side 300 -> 600, factor 2, long side 900 <= 1200
+    assert f == pytest.approx(2.0)
+    assert out.shape[:2] == (600, 900)
+
+
+def test_resize_long_side_cap(rng):
+    im = rng.randint(0, 255, (300, 900, 3)).astype(np.uint8)
+    out, f = resize_im(im, 600, 1200)
+    # naive f=2 would give long side 1800 > 1200 -> f = 1200/900
+    assert f == pytest.approx(1200.0 / 900.0)
+    assert out.shape[1] == 1200
+
+
+def test_pick_bucket_smallest_fitting():
+    cfg.TPU.BUCKETS = [[608, 608], [608, 912], [608, 1024], [1024, 608]]
+    assert pick_bucket(600, 600) == (608, 608)
+    assert pick_bucket(600, 900) == (608, 912)
+    assert pick_bucket(600, 1000) == (608, 1024)
+    assert pick_bucket(1000, 600) == (1024, 608)
+    # nothing fits -> largest bucket
+    assert pick_bucket(2000, 2000) in ((608, 1024), (1024, 608))
+
+
+def test_prep_image_pads_and_reports_true_extent(rng):
+    im = rng.randint(0, 255, (300, 450, 3)).astype(np.uint8)
+    data, info = prep_image(im)
+    bh, bw = data.shape[:2]
+    assert (bh, bw) in {tuple(b) for b in cfg.TPU.BUCKETS}
+    th, tw, f = info
+    assert th == 600 and tw == 900
+    # padding region is zero
+    assert (data[int(th):, :, :] == 0).all()
+    assert (data[:, int(tw):, :] == 0).all()
+    assert data[: int(th), : int(tw)].max() > 0
+
+
+def test_rgb_bgr_flip(rng):
+    im = rng.randint(0, 255, (4, 4, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(rgb_to_bgr(im)[..., 0], im[..., 2])
+
+
+def test_batch_images_common_bucket(rng):
+    ims = [
+        rng.randint(0, 255, (300, 450, 3)).astype(np.uint8),
+        rng.randint(0, 255, (330, 440, 3)).astype(np.uint8),
+    ]
+    data, infos = batch_images(ims)
+    assert data.shape[0] == 2
+    assert infos.shape == (2, 3)
+    assert data.shape[1:3] in {tuple(b) for b in cfg.TPU.BUCKETS}
