@@ -26,6 +26,9 @@ def main():
     from ctpn_tpu.config import cfg
     from ctpn_tpu.inference.pipeline import build_detect_fn
     from ctpn_tpu.models.factory import get_network
+    from ctpn_tpu.utils.compilation import ensure_compilation_cache
+
+    ensure_compilation_cache()
 
     n_dev = jax.device_count()
     backend = jax.default_backend()

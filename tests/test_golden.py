@@ -1,0 +1,55 @@
+"""Golden end-to-end test against the reference's shipped outputs.
+
+The reference ships demo images + expected `res_*.txt` boxes
+(`data/demo`, `data/results` — its only form of regression coverage,
+SURVEY.md §4). Reproducing those boxes requires the released trained
+checkpoint, which is not available in this environment; this test therefore
+runs only when an inference artifact is provided:
+
+    CTPN_ARTIFACT=/path/to/artifact python -m pytest tests/test_golden.py
+
+With a converted reference checkpoint (`cli/convert_reference.py`) the
+box-level F-measure vs the golden outputs gates at >= 0.995.
+"""
+
+import glob
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+
+REF_DEMO = "/root/reference/data/demo"
+REF_RESULTS = "/root/reference/data/results"
+ARTIFACT = os.environ.get("CTPN_ARTIFACT")
+
+pytestmark = pytest.mark.skipif(
+    not (ARTIFACT and osp.isdir(ARTIFACT) and osp.isdir(REF_DEMO)),
+    reason="set CTPN_ARTIFACT to a converted reference checkpoint",
+)
+
+
+def test_demo_golden_agreement(tmp_path):
+    from ctpn_tpu.eval import compare_result_dirs
+    from ctpn_tpu.inference.pipeline import CTPNPredictor
+    from ctpn_tpu.utils.image import load_image_bgr
+    from ctpn_tpu.utils.weights import load_params
+
+    predictor = CTPNPredictor(load_params(ARTIFACT), mode="H")
+    out_dir = tmp_path / "results"
+    out_dir.mkdir()
+    paths = sorted(
+        sum((glob.glob(osp.join(REF_DEMO, e)) for e in ("*.jpg", "*.png")), [])
+    )
+    assert paths
+    for path in paths:
+        recs = predictor.detect_image(load_image_bgr(path))
+        stem = osp.splitext(osp.basename(path))[0]
+        with open(out_dir / f"res_{stem}.txt", "w") as f:
+            for box in recs:
+                xs, ys = box[0:8:2], box[1:8:2]
+                f.write(
+                    f"{int(min(xs))},{int(min(ys))},{int(max(xs))},{int(max(ys))}\r\n"
+                )
+    score = compare_result_dirs(str(out_dir), REF_RESULTS)
+    assert score["f_measure"] >= 0.995, score
