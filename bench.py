@@ -23,7 +23,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from ctpn_tpu.config import cfg
     from ctpn_tpu.inference.pipeline import build_detect_fn
     from ctpn_tpu.models.factory import get_network
     from ctpn_tpu.utils.compilation import ensure_compilation_cache

@@ -64,7 +64,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from ctpn_tpu.config import cfg, cfg_from_file
+    from ctpn_tpu.config import cfg_from_file
     from ctpn_tpu.models.factory import get_network
     from ctpn_tpu.utils.weights import convert_tf_vars, export_params
 

@@ -19,12 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ctpn_tpu.config import cfg, cfg_from_file
+from ctpn_tpu.config import cfg_from_file
 from ctpn_tpu.models.factory import get_network
 from ctpn_tpu.utils.weights import (
     convert_tf_vars,
     export_params,
-    load_params,
     load_pretrained_into,
 )
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import glob
 import os.path as osp
-from typing import Dict, List, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -15,8 +15,7 @@ Throughput features:
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,9 +23,7 @@ import numpy as np
 
 from ctpn_tpu.config import cfg
 from ctpn_tpu.models.ctpn import CTPN
-from ctpn_tpu.ops.anchors import FEAT_STRIDE
-from ctpn_tpu.ops.proposal import Proposals, proposal_layer
-from ctpn_tpu.postprocess.connector import TextLines
+from ctpn_tpu.ops.proposal import proposal_layer
 from ctpn_tpu.postprocess.detector import detect_lines
 from ctpn_tpu.utils.image import load_image_bgr, prep_image, resize_im
 

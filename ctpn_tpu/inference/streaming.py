@@ -19,14 +19,13 @@ from __future__ import annotations
 import collections
 import threading
 import queue as queue_mod
-from typing import Dict, Iterable, Iterator, List, Optional, Tuple
+from typing import Dict, Iterable, Iterator, List, Tuple
 
-import jax
 import numpy as np
 
 from ctpn_tpu.config import cfg
 from ctpn_tpu.inference.pipeline import CTPNPredictor
-from ctpn_tpu.utils.image import load_image_bgr, pick_bucket, resize_im
+from ctpn_tpu.utils.image import load_image_bgr, resize_im
 
 
 class _Prepped(collections.namedtuple("_Prepped", "path image info f1 orig_shape")):

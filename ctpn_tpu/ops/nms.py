@@ -26,7 +26,6 @@ never suppress nor survive.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -27,7 +27,7 @@ lies outside the true feature extent (``cell_mask`` below).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

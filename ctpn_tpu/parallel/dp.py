@@ -14,7 +14,6 @@ from __future__ import annotations
 from typing import Any, Callable, Tuple
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from ctpn_tpu.parallel.mesh import data_sharding, replicated

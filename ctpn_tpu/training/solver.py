@@ -18,11 +18,9 @@ from __future__ import annotations
 import json
 import os
 import os.path as osp
-import time
-from typing import Callable, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from ctpn_tpu.config import cfg
@@ -32,7 +30,6 @@ from ctpn_tpu.models.ctpn import CTPN
 from ctpn_tpu.parallel.dp import replicate_state, shard_batch, shard_train_step
 from ctpn_tpu.parallel.mesh import make_mesh
 from ctpn_tpu.training.train_step import (
-    Batch,
     TrainState,
     build_train_step,
     create_train_state,

@@ -14,8 +14,7 @@ sharding annotations so XLA inserts the gradient all-reduce over the mesh.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +24,6 @@ from flax.training import train_state
 from ctpn_tpu.config import cfg
 from ctpn_tpu.models.ctpn import CTPN
 from ctpn_tpu.ops.anchor_target import anchor_target_batched
-from ctpn_tpu.ops.anchors import FEAT_STRIDE
 from ctpn_tpu.training.loss import ctpn_loss, weight_decay_loss
 
 

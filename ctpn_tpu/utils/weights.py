@@ -21,7 +21,7 @@ so VGG tensors map without transposition.
 from __future__ import annotations
 
 import os.path as osp
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import numpy as np
