@@ -59,8 +59,8 @@ class CTPN(nn.Module):
         rpn = nn.relu(rpn)
 
         lstm_o = BiLSTM(
-            hidden=self.lstm_hidden, d_out=512, param_dtype=self.param_dtype,
-            name="bilstm",
+            hidden=self.lstm_hidden, d_out=512, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="bilstm",
         )(rpn)
 
         bbox_pred = nn.Dense(

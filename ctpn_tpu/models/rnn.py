@@ -58,24 +58,30 @@ def _lstm_scan(xproj: jnp.ndarray, w_h: jnp.ndarray, hidden: int) -> jnp.ndarray
 
 
 class BiLSTM(nn.Module):
-    """(N, H, W, C) -> (N, H, W, d_out); recurrence along W, rows batched."""
+    """(N, H, W, C) -> (N, H, W, d_out); recurrence along W, rows batched.
+
+    ``dtype`` applies to the two large MXU matmuls (input projection and
+    output projection); the recurrent scan always runs float32 — LSTM state
+    is precision-sensitive and its matmuls are tiny.
+    """
 
     hidden: int = 128
     d_out: int = 512
+    dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         n, h, w, c = x.shape
-        xf = x.astype(jnp.float32).reshape(n * h, w, c)
+        xf = x.reshape(n * h, w, c)
 
         # one fused input projection for both directions: (.., C) @ (C, 8*hid)
         proj = nn.Dense(
             8 * self.hidden,
-            dtype=jnp.float32,
+            dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="input_proj",
-        )(xf)
+        )(xf).astype(jnp.float32)
         pf, pb = jnp.split(proj, 2, axis=-1)
 
         w_h_fw = self.param(
@@ -99,8 +105,8 @@ class BiLSTM(nn.Module):
 
         out = nn.Dense(
             self.d_out,
-            dtype=jnp.float32,
+            dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="out_proj",
         )(cat)
-        return out.reshape(n, h, w, self.d_out)
+        return out.astype(jnp.float32).reshape(n, h, w, self.d_out)
