@@ -33,6 +33,7 @@ def main():
     backend = jax.default_backend()
 
     bh, bw = 608, 912
+    # batch 16 is the single-chip throughput sweet spot (see docs/PERFORMANCE.md)
     batch = int(os.environ.get("BENCH_BATCH", "16" if backend == "tpu" else "2"))
     iters = int(os.environ.get("BENCH_ITERS", "20" if backend == "tpu" else "2"))
 
