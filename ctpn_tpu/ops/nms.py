@@ -32,8 +32,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ctpn_tpu.ops.iou import pairwise_iou
-
 BITS = 32
 
 
@@ -65,10 +63,28 @@ def suppression_bitmask_jnp(
         row0 = b * block
         rows = jax.lax.dynamic_slice(boxes_p, (row0, 0), (block, 4))
         rvalid = jax.lax.dynamic_slice(valid_p, (row0,), (block,))
-        iou = pairwise_iou(rows, boxes_col)  # (block, n_pad)
+        # divide-free threshold (same form as the Pallas kernel so both
+        # builders agree bit-for-bit): inter >= t * union
+        iw = (
+            jnp.minimum(rows[:, None, 2], boxes_col[None, :, 2])
+            - jnp.maximum(rows[:, None, 0], boxes_col[None, :, 0])
+            + 1.0
+        )
+        ih = (
+            jnp.minimum(rows[:, None, 3], boxes_col[None, :, 3])
+            - jnp.maximum(rows[:, None, 1], boxes_col[None, :, 1])
+            + 1.0
+        )
+        inter = jnp.maximum(iw, 0.0) * jnp.maximum(ih, 0.0)
+        area_r = (rows[:, 2] - rows[:, 0] + 1.0) * (rows[:, 3] - rows[:, 1] + 1.0)
+        area_c = (boxes_col[:, 2] - boxes_col[:, 0] + 1.0) * (
+            boxes_col[:, 3] - boxes_col[:, 1] + 1.0
+        )
+        union = jnp.maximum(area_r[:, None] + area_c[None, :] - inter, 1e-10)
+        over = inter >= thresh * union
         ridx = row0 + jnp.arange(block)
         supp = (
-            (iou >= thresh)
+            over
             & (col_idx[None, :] > ridx[:, None])
             & rvalid[:, None]
             & col_valid[None, :]
