@@ -133,6 +133,69 @@ def nms_fixed_point(mask: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return active
 
 
+def nms_fixed_point_blocked(
+    mask: jnp.ndarray, valid: jnp.ndarray, block: int = 1024
+) -> jnp.ndarray:
+    """Block-sequential greedy resolve: each mask row is read ONCE.
+
+    The plain fixed point (:func:`nms_fixed_point`) re-reads the whole
+    (N, N/32) mask every sweep — bandwidth-bound at ~15 sweeps for N=12k.
+    Here boxes are processed in score-ordered blocks: a small fixed point
+    over the block's local columns resolves it exactly (earlier blocks'
+    suppression arrives via the accumulated global word vector), then the
+    kept rows' masks fold into that accumulator. Identical output to the
+    full fixed point (greedy), verified in tests.
+    """
+    assert block % BITS == 0 and block >= BITS, "block must be a multiple of 32"
+    n = mask.shape[0]
+    w32 = mask.shape[1]
+    nb = (n + block - 1) // block
+    n_pad = nb * block
+    w_pad = n_pad // BITS
+    mask_p = jnp.zeros((n_pad, w_pad), dtype=jnp.uint32)
+    mask_p = mask_p.at[:n, :w32].set(mask)
+    valid_p = jnp.pad(valid, (0, n_pad - n))
+    bw = block // BITS  # words per block
+    local_word = jnp.arange(block) // BITS
+    local_shift = (jnp.arange(block) % BITS).astype(jnp.uint32)
+
+    def block_step(supp_words, b):
+        rows = jax.lax.dynamic_slice(mask_p, (b * block, 0), (block, w_pad))
+        vb = jax.lax.dynamic_slice(valid_p, (b * block,), (block,))
+        gw = jax.lax.dynamic_slice(supp_words, (b * bw,), (bw,))
+        bits = (gw[local_word] >> local_shift) & jnp.uint32(1)
+        base = vb & (bits == 0)  # not suppressed by earlier blocks
+        local = jax.lax.dynamic_slice(rows, (0, b * bw), (block, bw))
+
+        def inner_step(active):
+            masked = jnp.where(active[:, None], local, jnp.uint32(0))
+            sw = jax.lax.reduce(masked, np.uint32(0), jax.lax.bitwise_or, (0,))
+            ib = (sw[local_word] >> local_shift) & jnp.uint32(1)
+            return base & (ib == 0)
+
+        def cond(state):
+            active, changed, it = state
+            return changed & (it < block)
+
+        def body(state):
+            active, _, it = state
+            new = inner_step(active)
+            return new, jnp.any(new != active), it + 1
+
+        active, _, _ = jax.lax.while_loop(
+            cond, body, (base, jnp.bool_(True), 0)
+        )
+        kept_rows = jnp.where(active[:, None], rows, jnp.uint32(0))
+        fold = jax.lax.reduce(
+            kept_rows, np.uint32(0), jax.lax.bitwise_or, (0,)
+        )
+        return supp_words | fold, active
+
+    supp0 = jnp.zeros((w_pad,), dtype=jnp.uint32)
+    _, actives = jax.lax.scan(block_step, supp0, jnp.arange(nb))
+    return actives.reshape(n_pad)[:n]
+
+
 def nms_keep_sorted(
     boxes: jnp.ndarray,
     valid: jnp.ndarray,
@@ -148,7 +211,7 @@ def nms_keep_sorted(
         mask = suppression_bitmask_pallas(boxes, valid, thresh)
     else:
         mask = suppression_bitmask_jnp(boxes, valid, thresh)
-    return nms_fixed_point(mask, valid)
+    return nms_fixed_point_blocked(mask, valid)
 
 
 def nms_mask(

@@ -93,3 +93,17 @@ def test_nms_score_ties_match_reference_order(rng):
     want = set(H.py_nms(dets, 0.4))
     keep = np.asarray(N.nms_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.4))
     assert set(np.flatnonzero(keep).tolist()) == want
+
+
+def test_blocked_resolve_matches_full_fixed_point(rng):
+    from ctpn_tpu.ops.nms import nms_fixed_point_blocked
+
+    for n, block in [(50, 32), (300, 64), (300, 1024), (1000, 256)]:
+        boxes, scores = _dets(rng, n, max_wh=70)
+        order = np.argsort(scores, kind="stable")[::-1]
+        sb = jnp.asarray(boxes[order])
+        valid = jnp.asarray(rng.uniform(size=n) < 0.9)
+        mask = N.suppression_bitmask_jnp(sb, valid, 0.5)
+        full = np.asarray(N.nms_fixed_point(mask, valid))
+        blocked = np.asarray(nms_fixed_point_blocked(mask, valid, block=block))
+        np.testing.assert_array_equal(blocked, full), (n, block)
