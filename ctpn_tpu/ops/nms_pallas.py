@@ -5,17 +5,18 @@ TPU-native port of the idea in the reference CUDA kernel
 relation and emit packed bitmasks. Differences from the CUDA design, driven
 by TPU hardware:
 
-* Tiles are (TI, TJ) = (256, 1024) VPU-shaped blocks instead of 64-thread
-  blocks; IoU for the whole tile is one broadcast expression on the VPU.
+* Tiles are (TI, TJ) = (256, 2048) VPU-shaped blocks instead of 64-thread
+  blocks; IoU for the whole tile is one broadcast expression on the VPU,
+  with a divide-free threshold (``inter >= t * union``).
 * Bit packing cannot shuffle lanes cheaply on the VPU, so bits are packed
-  with an MXU matmul: ``supp_f32 @ P`` where ``P[k, w] = 2^(k % 8)`` for
-  ``k // 8 == w`` — one 256x1024x128 matmul per tile yields exact byte
-  values (<= 255, exactly representable in f32). Bytes are combined into
-  uint32 words by the caller (cheap XLA elementwise pass). The packed output
-  block is (256, 128): aligned to the (8, 128) f32 tile grid.
+  with an MXU matmul: ``supp_f32 @ P`` where ``P[k, w] = 2^(k % 16)`` for
+  ``k // 16 == w`` — halfword values <= 65535 are exactly representable in
+  f32 (< 2^24). The caller combines halfword pairs into uint32 words with
+  one cheap XLA pass. Packing to 16-bit halves both the packing FLOPs and
+  the kernel's HBM output traffic vs byte packing.
 * The sequential host-side mask merge of the reference
-  (`nms_kernel.cu:124-139`) is replaced by the fixed-point resolve in
-  `ctpn_tpu/ops/nms.py::nms_fixed_point` — fully on device.
+  (`nms_kernel.cu:124-139`) is replaced by the block-sequential resolve in
+  `ctpn_tpu/ops/nms.py::nms_fixed_point_blocked` — fully on device.
 
 Boxes are passed transposed as an (8, N) f32 array (rows x1,y1,x2,y2,valid)
 so the lane dimension is N — the natural TPU layout for per-box scalars.
@@ -32,13 +33,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_I = 256
-TILE_J = 1024
-PACK = 8  # bits per packed byte
+TILE_J = 2048
+PACK = 16  # bits per packed halfword
 BITS_PER_WORD = 32
 
 
 def _pack_matrix(tj: int) -> np.ndarray:
-    """(TJ, TJ/8) f32: column w collects bits 8w..8w+7 with weights 2^b."""
+    """(TJ, TJ/16) f32: column w collects bits 16w..16w+15, weights 2^b."""
     p = np.zeros((tj, tj // PACK), dtype=np.float32)
     for k in range(tj):
         p[k, k // PACK] = float(1 << (k % PACK))
@@ -72,9 +73,7 @@ def _bitmask_kernel(boxes_i_ref, boxes_j_ref, pack_ref, out_ref, *, thresh: floa
         area_i = (ix2 - ix1 + 1.0) * (iy2 - iy1 + 1.0)
         area_j = (jx2 - jx1 + 1.0) * (jy2 - jy1 + 1.0)
         union = jnp.maximum(area_i[:, None] + area_j[None, :] - inter, 1e-10)
-        # divide-free threshold: inter/union >= t  <=>  inter >= t * union
-        # (VPU divides are ~6x slower than multiplies; the jnp builder uses
-        # the same form so both bitmask paths agree bit-for-bit)
+        # divide-free threshold (same form as the jnp builder): t * union
         over = inter >= thresh * union
 
         row_g = bi * TILE_I + jax.lax.broadcasted_iota(
@@ -89,10 +88,10 @@ def _bitmask_kernel(boxes_i_ref, boxes_j_ref, pack_ref, out_ref, *, thresh: floa
             & (ivalid[:, None] > 0.5)
             & (jvalid[None, :] > 0.5)
         )
-        bytes_f = jnp.dot(
+        half_f = jnp.dot(
             supp.astype(jnp.float32), pack_ref[:], preferred_element_type=jnp.float32
-        )  # (TILE_I, TILE_J/8), exact byte values
-        out_ref[:] = bytes_f.astype(jnp.int32)
+        )  # (TILE_I, TILE_J/16), exact halfword values
+        out_ref[:] = half_f.astype(jnp.int32)
 
     @pl.when(jnp.logical_not(tile_live))
     def _():
@@ -118,7 +117,7 @@ def suppression_bitmask_pallas(
 
     pack = jnp.asarray(_pack_matrix(TILE_J))
 
-    bytes_i32 = pl.pallas_call(
+    halves_i32 = pl.pallas_call(
         functools.partial(_bitmask_kernel, thresh=float(thresh)),
         grid=(n_pad // TILE_I, n_pad // TILE_J),
         in_specs=[
@@ -139,8 +138,8 @@ def suppression_bitmask_pallas(
         interpret=interpret,
     )(bt, bt, pack)
 
-    # combine 4 bytes -> uint32 words (byte b holds bits 8b..8b+7 of its word)
-    b = bytes_i32.astype(jnp.uint32).reshape(n_pad, n_pad // BITS_PER_WORD, 4)
-    words = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
+    # combine halfword pairs -> uint32 (halfword h holds bits 16h..16h+15)
+    h = halves_i32.astype(jnp.uint32).reshape(n_pad, n_pad // BITS_PER_WORD, 2)
+    words = h[..., 0] | (h[..., 1] << 16)
     w_need = (n + BITS_PER_WORD - 1) // BITS_PER_WORD
     return words[:n, :w_need]
