@@ -67,3 +67,39 @@ def test_stream_detect_over_directory(tmp_path, rng, monkeypatch):
     assert set(results) == set(paths)
     for recs in results.values():
         assert recs.ndim == 2 and recs.shape[1] == 9
+
+
+def test_stream_detect_mixed_aspects(tmp_path, rng):
+    """Portrait + landscape images group into different buckets."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg.TPU.BUCKETS = [[64, 96], [96, 64]]
+    cfg.TEXT.SCALE = 48
+    cfg.TEXT.MAX_SCALE = 96
+    cfg.TEST.SCALES = (48,)
+    cfg.TEST.MAX_SIZE = 96
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(3):
+        arr = rng.randint(0, 255, (96, 128, 3), dtype=np.uint8)  # landscape
+        Image.fromarray(arr).save(img_dir / f"land{i}.jpg")
+        # tall enough that the portrait bucket (96, 64) is required
+        arr = rng.randint(0, 255, (192, 96, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"port{i}.jpg")
+
+    from ctpn_tpu.inference.pipeline import CTPNPredictor
+    from ctpn_tpu.inference.streaming import stream_detect
+    from ctpn_tpu.models.factory import get_network
+
+    model = get_network("VGGnet_test")
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3), jnp.float32)
+    )["params"]
+    predictor = CTPNPredictor(params)
+    paths = sorted(str(p) for p in img_dir.iterdir())
+    results = dict(stream_detect(paths, predictor, batch_size=2, workers=2))
+    assert set(results) == set(paths)
+    # both bucket programs were compiled
+    assert len(predictor._fns) == 2
