@@ -144,10 +144,17 @@ class RoIDataLayer:
         self._cur += self._batch
         return inds
 
+    def next_entries(self):
+        """Cheap sampling step: (entries, bucket). NOT thread-safe — callers
+        serialize this and run :func:`assemble_batch` (the heavy IO) in
+        parallel (see data/pipeline.py)."""
+        entries = [self._roidb[i] for i in self._next_inds()]
+        return entries, self._batch_bucket(entries)
+
     def forward(self) -> Batch:
         """Next padded batch (reference `layer.py:55-58`)."""
-        entries = [self._roidb[i] for i in self._next_inds()]
-        return assemble_batch(entries, self._batch_bucket(entries))
+        entries, bucket = self.next_entries()
+        return assemble_batch(entries, bucket)
 
     def __iter__(self):
         while True:

@@ -27,14 +27,27 @@ class PrefetchLoader:
 
     def __init__(
         self,
-        next_batch: Callable[[], object],
+        next_batch: Callable[[], object] = None,
         depth: Optional[int] = None,
         workers: int = 2,
+        sample_fn: Callable[[], object] = None,
+        build_fn: Callable[[object], object] = None,
     ):
-        self._next = next_batch
+        """Either pass ``next_batch`` (whole produce step, serialized under a
+        lock because samplers like RoIDataLayer keep a shuffle cursor), or
+        split it into ``sample_fn`` (cheap, runs under the lock) +
+        ``build_fn`` (heavy decode/pad work, runs in parallel workers)."""
+        if next_batch is not None:
+            self._sample = next_batch
+            self._build = lambda x: x
+        else:
+            assert sample_fn is not None and build_fn is not None
+            self._sample = sample_fn
+            self._build = build_fn
         self._q: "queue.Queue" = queue.Queue(
             maxsize=depth or cfg.TPU.PREFETCH_DEPTH
         )
+        self._lock = threading.Lock()
         self._stop = threading.Event()
         self._threads = [
             threading.Thread(target=self._worker, daemon=True)
@@ -46,7 +59,9 @@ class PrefetchLoader:
     def _worker(self) -> None:
         while not self._stop.is_set():
             try:
-                batch = self._next()
+                with self._lock:
+                    item = self._sample()
+                batch = self._build(item)
             except Exception as e:  # surface errors to the consumer
                 self._q.put(e)
                 return

@@ -110,8 +110,14 @@ class SolverWrapper:
         log_every: Optional[int] = None,
     ) -> Dict[str, float]:
         log_every = log_every or cfg.TRAIN.DISPLAY
+        from ctpn_tpu.data.minibatch import assemble_batch
+
         layer = RoIDataLayer(self.roidb, batch_size=self.batch_size)
-        loader = PrefetchLoader(layer.forward, workers=2)
+        loader = PrefetchLoader(
+            sample_fn=layer.next_entries,
+            build_fn=lambda s: assemble_batch(*s),
+            workers=2,
+        )
 
         # feature extent depends on the batch bucket; compile per bucket
         step_fns: Dict = {}
