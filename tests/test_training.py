@@ -115,3 +115,22 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(min(4, jax.device_count()))
+
+
+def test_remat_step_matches_plain(rng):
+    """jax.checkpoint rematerialization must not change the update."""
+    model = CTPN(dtype=jnp.float32)
+    state0 = create_train_state(jax.random.PRNGKey(2), model, (1, BH, BW, 3))
+    batch = _toy_batch(rng, 2)
+    cfg.TPU.REMAT = False
+    s_plain, m_plain = jax.jit(build_train_step(model, FH, FW))(state0, batch)
+    cfg.TPU.REMAT = True
+    s_remat, m_remat = jax.jit(build_train_step(model, FH, FW))(state0, batch)
+    cfg.TPU.REMAT = False
+    np.testing.assert_allclose(
+        float(m_plain["model_loss"]), float(m_remat["model_loss"]), rtol=1e-6
+    )
+    a = jax.tree_util.tree_leaves(s_plain.params)
+    b = jax.tree_util.tree_leaves(s_remat.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6)
