@@ -197,8 +197,9 @@ def to_voc(
             f.write(_voc_xml(stem, lines, im_h, im_w))
         dst = osp.join(img_dir, stem + ".jpg")
         if not osp.exists(dst):
-            os.link(src_img, dst) if os.name == "posix" else None
-            if not osp.exists(dst):
+            try:
+                os.link(src_img, dst)  # hardlink when possible
+            except OSError:
                 import shutil
 
                 shutil.copyfile(src_img, dst)
