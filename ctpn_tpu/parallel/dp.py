@@ -50,3 +50,15 @@ def shard_train_step(
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
     repl = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
+
+
+def shard_detect_fn(detect_fn, mesh: Mesh):
+    """jit an inference fn(params, images, im_info) with DP shardings.
+
+    Params replicated; the image batch and im_info shard on dim 0; outputs
+    stay batch-sharded (pull per-image slices or device_get as needed).
+    Inference is embarrassingly parallel over the mesh — no collectives.
+    """
+    repl = replicated(mesh)
+    ds = data_sharding(mesh)
+    return jax.jit(detect_fn, in_shardings=(repl, ds, ds))

@@ -134,3 +134,29 @@ def test_remat_step_matches_plain(rng):
     b = jax.tree_util.tree_leaves(s_remat.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6)
+
+
+def test_dp_inference_sharding(rng):
+    """Batch-sharded detection over a multi-device mesh."""
+    from ctpn_tpu.inference.pipeline import build_detect_fn
+    from ctpn_tpu.parallel.dp import shard_detect_fn
+    from ctpn_tpu.parallel.mesh import make_mesh, replicated
+
+    n_dev = min(4, jax.device_count())
+    mesh = make_mesh(jax.devices()[:n_dev])
+    model = CTPN(dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, BH, BW, 3)))["params"]
+    params = jax.device_put(params, replicated(mesh))
+    detect = build_detect_fn(model, mode="H", pre_nms_top_n=150,
+                             post_nms_top_n=60, max_lines=16)
+    images = jnp.asarray(rng.uniform(0, 255, (n_dev * 2, BH, BW, 3)).astype(np.float32))
+    infos = jnp.asarray(np.tile(np.array([BH, BW, 1.0], np.float32), (n_dev * 2, 1)))
+    with mesh:
+        f = shard_detect_fn(detect, mesh)
+        props, lines = f(params, images, infos)
+    assert props.rois.shape == (n_dev * 2, 60, 5)
+    # sharded result must match the single-device run
+    p1, l1 = jax.jit(detect)(params, images, infos)
+    np.testing.assert_allclose(
+        np.asarray(props.rois), np.asarray(p1.rois), rtol=1e-5, atol=1e-4
+    )
