@@ -23,7 +23,7 @@ from PIL import Image, ImageDraw
 from ctpn_tpu.config import cfg, cfg_from_file
 from ctpn_tpu.inference.pipeline import CTPNPredictor
 from ctpn_tpu.utils.image import load_image_bgr
-from ctpn_tpu.utils.timer import Timer
+from ctpn_tpu.utils.timer import Stopwatch
 
 
 def draw_and_save(im_bgr: np.ndarray, recs: np.ndarray, out_img: str, out_txt: str):
@@ -100,15 +100,14 @@ def main(argv=None):
         sum((glob.glob(osp.join(args.images, ext)) for ext in
              ("*.png", "*.jpg", "*.jpeg")), [])
     )
-    timer = Timer()
+    timer = Stopwatch()
     for path in paths:
         im = load_image_bgr(path)
-        timer.tic()
-        if args.host_postprocess:
-            recs = predictor.detect_image_host(im)
-        else:
-            recs = predictor.detect_image(im)
-        dt = timer.toc(average=False)
+        with timer:
+            if args.host_postprocess:
+                recs = predictor.detect_image_host(im)
+            else:
+                recs = predictor.detect_image(im)
         stem = osp.splitext(osp.basename(path))[0]
         draw_and_save(
             im,
@@ -116,7 +115,7 @@ def main(argv=None):
             osp.join(args.output, osp.basename(path)),
             osp.join(args.output, f"res_{stem}.txt"),
         )
-        print(f"Detection took {timer.diff:.3f}s for {len(recs)} lines: {path}")
+        print(f"Detection took {timer.last:.3f}s for {len(recs)} lines: {path}")
 
 
 if __name__ == "__main__":

@@ -180,7 +180,8 @@ def _default_cfg() -> AttrDict:
     p.MAX_DONTCARE = 64  # padded dontcare areas per image
     p.MAX_PROPOSALS = 1000  # post-NMS proposals carried into the connector
     p.MAX_LINES = 128  # padded text lines per image
-    p.NMS_TILE = 256  # Pallas NMS bitmask tile size
+    p.NMS_TILE = 256  # Pallas NMS bitmask row-tile size (multiple of 8)
+    p.NMS_TILE_J = 2048  # Pallas NMS bitmask column-tile size (mult. of 16)
     p.MESH_AXIS = "data"  # data-parallel mesh axis name
     p.PREFETCH_DEPTH = 2  # host->device pipeline depth
     p.REMAT = False  # rematerialize the backbone in the backward pass

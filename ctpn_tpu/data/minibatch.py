@@ -23,7 +23,12 @@ import numpy as np
 
 from ctpn_tpu.config import cfg
 from ctpn_tpu.training.train_step import Batch
-from ctpn_tpu.utils.image import load_image_bgr, pick_bucket, resize_im
+from ctpn_tpu.utils.image import (
+    load_image_bgr,
+    pick_bucket,
+    resize_by_factor,
+    resize_factor,
+)
 
 
 def _load_entry_image(entry: dict) -> np.ndarray:
@@ -41,7 +46,11 @@ def sample_to_arrays(
     scale = scale or cfg.TRAIN.SCALES[0]
     max_size = max_size or cfg.TRAIN.MAX_SIZE
     im = _load_entry_image(entry)
-    resized, f = resize_im(im, scale, max_size)
+    f = resize_factor(im.shape[0], im.shape[1], scale, max_size)
+    if cfg.TRAIN.RANDOM_DOWNSAMPLE:
+        # scale jitter in [0.6, 1.0) (reference `blob.py:32-34`)
+        f *= 0.6 + np.random.rand() * 0.4
+    resized = resize_by_factor(im, f)
     bh, bw = bucket
     h = min(resized.shape[0], bh)
     w = min(resized.shape[1], bw)

@@ -110,7 +110,7 @@ def stream_detect(
                 key = next(k for k, v in buckets.items() if v)
                 flush(buckets.pop(key))
             # keep at most 2 batches in flight (double buffering)
-            while len(inflight) > 2:
+            while len(inflight) > 1:
                 yield from drain()
         while inflight:
             yield from drain()

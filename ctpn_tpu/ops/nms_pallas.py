@@ -5,7 +5,8 @@ TPU-native port of the idea in the reference CUDA kernel
 relation and emit packed bitmasks. Differences from the CUDA design, driven
 by TPU hardware:
 
-* Tiles are (TI, TJ) = (256, 2048) VPU-shaped blocks instead of 64-thread
+* Tiles are (TI, TJ) VPU-shaped blocks (default 256 x 2048, set by
+  ``cfg.TPU.NMS_TILE`` / ``cfg.TPU.NMS_TILE_J``) instead of 64-thread
   blocks; IoU for the whole tile is one broadcast expression on the VPU,
   with a divide-free threshold (``inter >= t * union``).
 * Bit packing cannot shuffle lanes cheaply on the VPU, so bits are packed
@@ -32,12 +33,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_I = 256
-TILE_J = 2048
 PACK = 16  # bits per packed halfword
 BITS_PER_WORD = 32
 
 
+def _default_tiles() -> tuple:
+    from ctpn_tpu.config import cfg
+
+    return int(cfg.TPU.NMS_TILE), int(cfg.TPU.NMS_TILE_J)
+
+
+@functools.lru_cache(maxsize=8)
 def _pack_matrix(tj: int) -> np.ndarray:
     """(TJ, TJ/16) f32: column w collects bits 16w..16w+15, weights 2^b."""
     p = np.zeros((tj, tj // PACK), dtype=np.float32)
@@ -46,16 +52,19 @@ def _pack_matrix(tj: int) -> np.ndarray:
     return p
 
 
-def _bitmask_kernel(boxes_i_ref, boxes_j_ref, pack_ref, out_ref, *, thresh: float):
+def _bitmask_kernel(
+    boxes_i_ref, boxes_j_ref, pack_ref, out_ref, *,
+    thresh: float, tile_i: int, tile_j: int,
+):
     bi = pl.program_id(0)
     bj = pl.program_id(1)
     # a tile can only carry bits when some col index j exceeds some row i
-    tile_live = (bj * TILE_J + TILE_J - 1) > (bi * TILE_I)
+    tile_live = (bj * tile_j + tile_j - 1) > (bi * tile_i)
 
     @pl.when(tile_live)
     def _():
-        bx = boxes_i_ref[:]  # (8, TILE_I)
-        by = boxes_j_ref[:]  # (8, TILE_J)
+        bx = boxes_i_ref[:]  # (8, tile_i)
+        by = boxes_j_ref[:]  # (8, tile_j)
         ix1, iy1, ix2, iy2, ivalid = bx[0], bx[1], bx[2], bx[3], bx[4]
         jx1, jy1, jx2, jy2, jvalid = by[0], by[1], by[2], by[3], by[4]
 
@@ -76,11 +85,11 @@ def _bitmask_kernel(boxes_i_ref, boxes_j_ref, pack_ref, out_ref, *, thresh: floa
         # divide-free threshold (same form as the jnp builder): t * union
         over = inter >= thresh * union
 
-        row_g = bi * TILE_I + jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_I, TILE_J), 0
+        row_g = bi * tile_i + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_i, tile_j), 0
         )
-        col_g = bj * TILE_J + jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_I, TILE_J), 1
+        col_g = bj * tile_j + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_i, tile_j), 1
         )
         supp = (
             over
@@ -90,7 +99,7 @@ def _bitmask_kernel(boxes_i_ref, boxes_j_ref, pack_ref, out_ref, *, thresh: floa
         )
         half_f = jnp.dot(
             supp.astype(jnp.float32), pack_ref[:], preferred_element_type=jnp.float32
-        )  # (TILE_I, TILE_J/16), exact halfword values
+        )  # (tile_i, tile_j/16), exact halfword values
         out_ref[:] = half_f.astype(jnp.int32)
 
     @pl.when(jnp.logical_not(tile_live))
@@ -98,39 +107,41 @@ def _bitmask_kernel(boxes_i_ref, boxes_j_ref, pack_ref, out_ref, *, thresh: floa
         out_ref[:] = jnp.zeros_like(out_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("thresh", "interpret"))
-def suppression_bitmask_pallas(
+@functools.partial(
+    jax.jit, static_argnames=("thresh", "tile_i", "tile_j", "interpret")
+)
+def _bitmask_pallas(
     boxes: jnp.ndarray,
     valid: jnp.ndarray,
     thresh: float,
+    tile_i: int,
+    tile_j: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(N, ceil(N/32)) uint32 suppression bitmask via the Pallas tile kernel.
-
-    ``boxes`` (N, 4) must be sorted by score descending; ``valid`` (N,) bool.
-    """
     n = boxes.shape[0]
-    n_pad = ((n + TILE_J - 1) // TILE_J) * TILE_J
+    n_pad = ((n + tile_j - 1) // tile_j) * tile_j
     bt = jnp.zeros((8, n_pad), dtype=jnp.float32)
     bt = bt.at[0:4, :n].set(boxes.T.astype(jnp.float32))
     bt = bt.at[4, :n].set(valid.astype(jnp.float32))
 
-    pack = jnp.asarray(_pack_matrix(TILE_J))
+    pack = jnp.asarray(_pack_matrix(tile_j))
 
     halves_i32 = pl.pallas_call(
-        functools.partial(_bitmask_kernel, thresh=float(thresh)),
-        grid=(n_pad // TILE_I, n_pad // TILE_J),
+        functools.partial(
+            _bitmask_kernel, thresh=float(thresh), tile_i=tile_i, tile_j=tile_j
+        ),
+        grid=(n_pad // tile_i, n_pad // tile_j),
         in_specs=[
-            pl.BlockSpec((8, TILE_I), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE_J), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_i), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (TILE_J, TILE_J // PACK),
+                (tile_j, tile_j // PACK),
                 lambda i, j: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (TILE_I, TILE_J // PACK),
+            (tile_i, tile_j // PACK),
             lambda i, j: (i, j),
             memory_space=pltpu.VMEM,
         ),
@@ -143,3 +154,23 @@ def suppression_bitmask_pallas(
     words = h[..., 0] | (h[..., 1] << 16)
     w_need = (n + BITS_PER_WORD - 1) // BITS_PER_WORD
     return words[:n, :w_need]
+
+
+def suppression_bitmask_pallas(
+    boxes: jnp.ndarray,
+    valid: jnp.ndarray,
+    thresh: float,
+    tile_i: int = None,
+    tile_j: int = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(N, ceil(N/32)) uint32 suppression bitmask via the Pallas tile kernel.
+
+    ``boxes`` (N, 4) must be sorted by score descending; ``valid`` (N,) bool.
+    Tile sizes default to ``cfg.TPU.NMS_TILE`` x ``cfg.TPU.NMS_TILE_J``.
+    """
+    d_i, d_j = _default_tiles()
+    tile_i = int(tile_i or d_i)
+    tile_j = int(tile_j or d_j)
+    assert tile_j % PACK == 0 and tile_i % 8 == 0, (tile_i, tile_j)
+    return _bitmask_pallas(boxes, valid, thresh, tile_i, tile_j, interpret)

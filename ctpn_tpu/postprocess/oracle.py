@@ -144,19 +144,20 @@ def get_text_lines_o_np(boxes, scores, im_size) -> np.ndarray:
         score = scores[members].sum() / float(len(members))
         height = np.mean(tlb[:, 3] - tlb[:, 1]) + 2.5
         k, b = z1[0], z1[1]
-        b1 = b - height / 2
-        b2 = b + height / 2
-        xa, ya = x0, k * x0 + b1
-        xb, yb = x1, k * x1 + b1
-        xc, yc = x0, k * x0 + b2
-        xd, yd = x1, k * x1 + b2
-        disX = xb - xa
-        disY = yb - ya
-        width = np.sqrt(disX * disX + disY * disY)
-        fTmp0 = yc - ya
-        fTmp1 = fTmp0 * disY / width
-        dx = np.fabs(fTmp1 * disX / width)
-        dy = np.fabs(fTmp1 * disY / width)
+        b_top = b - height / 2
+        b_bot = b + height / 2
+        xa, ya = x0, k * x0 + b_top
+        xb, yb = x1, k * x1 + b_top
+        xc, yc = x0, k * x0 + b_bot
+        xd, yd = x1, k * x1 + b_bot
+        # slope compensation: project the vertical half-height onto the
+        # fitted center line's direction to shift the short edges
+        run = xb - xa
+        rise = yb - ya
+        width = np.sqrt(run * run + rise * rise)
+        proj = (yc - ya) * rise / width
+        dx = np.fabs(proj * run / width)
+        dy = np.fabs(proj * rise / width)
         if k < 0:
             xa -= dx
             ya += dy

@@ -34,7 +34,7 @@ from ctpn_tpu.training.train_step import (
     build_train_step,
     create_train_state,
 )
-from ctpn_tpu.utils.timer import Timer
+from ctpn_tpu.utils.timer import Stopwatch
 
 
 class SolverWrapper:
@@ -138,30 +138,29 @@ class SolverWrapper:
         if self.mesh is not None:
             state = replicate_state(state, self.mesh)
 
-        timer = Timer()
+        timer = Stopwatch()
         last = {}
         start_iter = int(state.step)
         try:
             for it in range(start_iter, max_iters):
-                timer.tic()
-                batch = loader.get()
-                bh, bw = batch.images.shape[1:3]
-                key = (bh, bw)
-                if key not in step_fns:
-                    fn = build_train_step(self.model, bh // 16, bw // 16)
+                with timer:
+                    batch = loader.get()
+                    bh, bw = batch.images.shape[1:3]
+                    key = (bh, bw)
+                    if key not in step_fns:
+                        fn = build_train_step(self.model, bh // 16, bw // 16)
+                        if self.mesh is not None:
+                            fn = shard_train_step(fn, self.mesh)
+                        else:
+                            fn = jax.jit(fn, donate_argnums=(0,))
+                        step_fns[key] = fn
                     if self.mesh is not None:
-                        fn = shard_train_step(fn, self.mesh)
-                    else:
-                        fn = jax.jit(fn, donate_argnums=(0,))
-                    step_fns[key] = fn
-                if self.mesh is not None:
-                    batch = shard_batch(batch, self.mesh)
-                state, metrics = step_fns[key](state, batch)
-                timer.toc()
+                        batch = shard_batch(batch, self.mesh)
+                    state, metrics = step_fns[key](state, batch)
 
                 if (it + 1) % log_every == 0 or it == start_iter:
                     last = {k: float(v) for k, v in metrics.items()}
-                    last.update(step=it + 1, sec_per_iter=timer.average_time)
+                    last.update(step=it + 1, sec_per_iter=timer.mean)
                     with open(self._metrics_path, "a") as f:
                         f.write(json.dumps(last) + "\n")
                     if self._tb is not None:
@@ -179,7 +178,7 @@ class SolverWrapper:
                         f"rpn_loss_cls: {last['rpn_cls_loss']:.4f}, "
                         f"rpn_loss_box: {last['rpn_box_loss']:.4f}, "
                         f"lr: {last['learning_rate']:.6f}, "
-                        f"speed: {timer.average_time:.3f}s / iter"
+                        f"speed: {timer.mean:.3f}s / iter"
                     )
                 if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0:
                     self.snapshot(state)

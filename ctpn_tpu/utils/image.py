@@ -22,18 +22,29 @@ from PIL import Image
 from ctpn_tpu.config import cfg
 
 
+def resize_factor(h: int, w: int, scale: int, max_scale: int = None) -> float:
+    """Factor scaling the short side to ``scale``, capped so the long side
+    stays <= ``max_scale`` (`demo.py:21-25` / `blob.py:26-31` contract)."""
+    f = float(scale) / min(h, w)
+    if max_scale is not None and f * max(h, w) > max_scale:
+        f = float(max_scale) / max(h, w)
+    return f
+
+
+def resize_by_factor(im: np.ndarray, f: float) -> np.ndarray:
+    """Bilinear resize by an explicit factor."""
+    new_w = int(im.shape[1] * f)
+    new_h = int(im.shape[0] * f)
+    pil = Image.fromarray(im.astype(np.uint8))
+    return np.asarray(pil.resize((new_w, new_h), Image.BILINEAR))
+
+
 def resize_im(im: np.ndarray, scale: int, max_scale: int = None) -> Tuple[np.ndarray, float]:
     """Scale so the short side is ``scale``, capped so the long side stays
     <= ``max_scale``. Returns (resized, factor). Same contract as
     `demo.py:21-25`."""
-    f = float(scale) / min(im.shape[0], im.shape[1])
-    if max_scale is not None and f * max(im.shape[0], im.shape[1]) > max_scale:
-        f = float(max_scale) / max(im.shape[0], im.shape[1])
-    new_w = int(im.shape[1] * f)
-    new_h = int(im.shape[0] * f)
-    pil = Image.fromarray(im.astype(np.uint8))
-    out = np.asarray(pil.resize((new_w, new_h), Image.BILINEAR))
-    return out, f
+    f = resize_factor(im.shape[0], im.shape[1], scale, max_scale)
+    return resize_by_factor(im, f), f
 
 
 def pick_bucket(h: int, w: int, buckets: Sequence[Sequence[int]] = None) -> Tuple[int, int]:

@@ -1,29 +1,59 @@
-"""Wall-clock timer (reference `lib/utils/timer.py:2-21`) plus jax.profiler
-hooks the reference never had."""
+"""Timing utilities.
+
+Fills the role of the reference's wall-clock accumulator
+(`lib/utils/timer.py:2-21`) with a context-manager stopwatch, and adds
+jax.profiler trace hooks the reference never had.
+"""
 
 from __future__ import annotations
 
 import contextlib
+import math
 import time
 
 
-class Timer:
-    def __init__(self):
-        self.total_time = 0.0
-        self.calls = 0
-        self.start_time = 0.0
-        self.diff = 0.0
-        self.average_time = 0.0
+class Stopwatch:
+    """Accumulating wall-clock stopwatch.
 
-    def tic(self):
-        self.start_time = time.time()
+    Wrap each timed section in a ``with`` block; per-lap and aggregate
+    timings are exposed as properties::
 
-    def toc(self, average: bool = True) -> float:
-        self.diff = time.time() - self.start_time
-        self.total_time += self.diff
-        self.calls += 1
-        self.average_time = self.total_time / self.calls
-        return self.average_time if average else self.diff
+        sw = Stopwatch()
+        for batch in loader:
+            with sw:
+                step(batch)
+        print(sw.mean, sw.last)
+    """
+
+    def __init__(self) -> None:
+        self.laps: list[float] = []
+        self._t0: float | None = None
+
+    def __enter__(self) -> "Stopwatch":
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        assert self._t0 is not None, "Stopwatch exited without entering"
+        self.laps.append(time.perf_counter() - self._t0)
+        self._t0 = None
+        return False
+
+    @property
+    def count(self) -> int:
+        return len(self.laps)
+
+    @property
+    def last(self) -> float:
+        return self.laps[-1] if self.laps else 0.0
+
+    @property
+    def total(self) -> float:
+        return math.fsum(self.laps)
+
+    @property
+    def mean(self) -> float:
+        return self.total / len(self.laps) if self.laps else 0.0
 
 
 @contextlib.contextmanager

@@ -125,3 +125,28 @@ def test_prefetch_loader(voc_tree):
     batches = [loader.get() for _ in range(4)]
     assert all(b.images.shape[0] == 1 for b in batches)
     loader.close()
+
+
+def test_random_downsample_shrinks_and_scales_gt(voc_tree, monkeypatch):
+    """TRAIN.RANDOM_DOWNSAMPLE jitters the resize factor into [0.6, 1.0)
+    of the deterministic contract (reference `blob.py:32-34`)."""
+    from ctpn_tpu.data.minibatch import sample_to_arrays
+    from ctpn_tpu.utils.image import resize_factor
+
+    imdb = PascalVOC("trainval", "2007", devkit_path=voc_tree)
+    roidb = get_training_roidb(imdb)
+    entry = roidb[0]
+    bucket = tuple(cfg.TPU.BUCKETS[-1])
+    _, info_base, gt_base, gv, _, _, _ = sample_to_arrays(entry, bucket)
+
+    monkeypatch.setitem(cfg.TRAIN, "RANDOM_DOWNSAMPLE", True)
+    np.random.seed(7)
+    _, info, gt, gv2, _, _, _ = sample_to_arrays(entry, bucket)
+    f0 = resize_factor(
+        entry["height"], entry["width"], cfg.TRAIN.SCALES[0], cfg.TRAIN.MAX_SIZE
+    )
+    assert 0.6 * f0 <= info[2] < f0  # jittered factor in range
+    assert info[2] < info_base[2]
+    # gt boxes scale with the same jittered factor
+    ratio = info[2] / info_base[2]
+    np.testing.assert_allclose(gt[gv2], gt_base[gv] * ratio, rtol=1e-6)

@@ -107,3 +107,19 @@ def test_blocked_resolve_matches_full_fixed_point(rng):
         full = np.asarray(N.nms_fixed_point(mask, valid))
         blocked = np.asarray(nms_fixed_point_blocked(mask, valid, block=block))
         np.testing.assert_array_equal(blocked, full), (n, block)
+
+
+def test_bitmask_pallas_tile_knob(rng):
+    """cfg.TPU.NMS_TILE / NMS_TILE_J parameterize the kernel tiles; any
+    legal tile pair must produce the identical bitmask."""
+    boxes, scores = _dets(rng, 300)
+    order = np.argsort(scores, kind="stable")[::-1]
+    sb = jnp.asarray(boxes[order])
+    valid = jnp.ones(300, dtype=bool)
+    want = np.asarray(N.suppression_bitmask_jnp(sb, valid, 0.5))
+    got = np.asarray(
+        suppression_bitmask_pallas(
+            sb, valid, 0.5, tile_i=64, tile_j=512, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, want)
