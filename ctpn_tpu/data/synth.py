@@ -1,31 +1,205 @@
 """Synthetic scene-text dataset generator.
 
-Renders random text lines (PIL default font, scalable) onto noisy
-backgrounds and emits ICDAR/MLT-style ``gt_<stem>.txt`` 8-coordinate polygon
-files — the exact input format of the data-prep pipeline
-(`ctpn_tpu/data/prepare.py`, reference `split_label.py`). Used for:
+Renders text lines onto procedural backgrounds and emits ICDAR/MLT-style
+``gt_<stem>.txt`` 8-coordinate polygon files — the exact input format of the
+data-prep pipeline (`ctpn_tpu/data/prepare.py`, reference `split_label.py`).
+Used for:
 
 * end-to-end training validation without external datasets (the reference
   requires a multi-GB VOC tree that is not shipped);
 * training smoke/convergence tests and demo artifacts.
+
+Rendering variety (round 2): real TTF fonts (all DejaVu faces found in the
+matplotlib data dir), word-like strings, sizes 14-72 px, small rotations,
+paragraph blocks, gradient/texture backgrounds, low-contrast cases, and
+optional blur — aimed at weights that transfer to real photographs.
 """
 
 from __future__ import annotations
 
+import glob
 import os
 import os.path as osp
 import string
-from typing import List, Tuple
+from functools import lru_cache
+from typing import List, Optional, Tuple
 
 import numpy as np
-from PIL import Image, ImageDraw, ImageFont
+from PIL import Image, ImageDraw, ImageFilter, ImageFont
 
 
-def _font(size: int):
+@lru_cache(maxsize=1)
+def _font_files() -> Tuple[str, ...]:
+    """Discover usable TTF faces (DejaVu ships with matplotlib)."""
+    try:
+        import matplotlib
+
+        ttf_dir = osp.join(
+            osp.dirname(matplotlib.__file__), "mpl-data", "fonts", "ttf"
+        )
+        faces = sorted(glob.glob(osp.join(ttf_dir, "DejaVu*.ttf")))
+        if faces:
+            return tuple(faces)
+    except Exception:
+        pass
+    return ()
+
+
+@lru_cache(maxsize=256)
+def _font(path: Optional[str], size: int):
+    if path:
+        try:
+            return ImageFont.truetype(path, size=size)
+        except Exception:
+            pass
     try:
         return ImageFont.load_default(size=size)
     except TypeError:  # older PIL: fixed-size bitmap font
         return ImageFont.load_default()
+
+
+def _pick_font(rng: np.random.RandomState, size: int):
+    faces = _font_files()
+    path = faces[rng.randint(len(faces))] if faces else None
+    return _font(path, size)
+
+
+_WORD_CHARS = string.ascii_lowercase
+
+
+def _word(rng: np.random.RandomState) -> str:
+    w = "".join(rng.choice(list(_WORD_CHARS))
+                for _ in range(rng.randint(2, 10)))
+    style = rng.rand()
+    if style < 0.15:
+        return w.upper()
+    if style < 0.45:
+        return w.capitalize()
+    if style < 0.55:
+        return str(rng.randint(0, 10000))
+    return w
+
+
+def _line_text(rng: np.random.RandomState) -> str:
+    return " ".join(_word(rng) for _ in range(rng.randint(1, 5)))
+
+
+def _background(
+    rng: np.random.RandomState, width: int, height: int
+) -> Image.Image:
+    """Procedural background: gradient / blurred blocks / noise texture."""
+    kind = rng.rand()
+    if kind < 0.35:  # vertical-ish gradient between two random colors
+        c0 = rng.randint(0, 256, 3).astype(np.float32)
+        c1 = rng.randint(0, 256, 3).astype(np.float32)
+        t = np.linspace(0, 1, height)[:, None, None]
+        arr = (c0 * (1 - t) + c1 * t) + rng.randn(height, width, 3) * 6
+    elif kind < 0.7:  # low-res color blocks upsampled (photo-ish regions)
+        small = rng.randint(0, 256, (rng.randint(2, 7), rng.randint(2, 7), 3))
+        img = Image.fromarray(small.astype(np.uint8)).resize(
+            (width, height), Image.BILINEAR
+        )
+        arr = np.asarray(img).astype(np.float32) + rng.randn(height, width, 3) * 8
+    else:  # flat tone + noise (round-1 style)
+        base = rng.randint(0, 200)
+        arr = base + rng.randn(height, width, 3) * 18
+    img = Image.fromarray(arr.clip(0, 255).astype(np.uint8))
+
+    draw = ImageDraw.Draw(img)
+    for _ in range(rng.randint(2, 8)):  # clutter: outlines and bars
+        x0, y0 = rng.randint(0, width - 40), rng.randint(0, height - 40)
+        x1, y1 = x0 + rng.randint(20, 240), y0 + rng.randint(8, 200)
+        color = tuple(int(c) for c in rng.randint(0, 255, 3))
+        shape = rng.rand()
+        if shape < 0.4:
+            draw.rectangle([x0, y0, x1, y1], outline=color,
+                           width=rng.randint(1, 4))
+        elif shape < 0.7:
+            draw.ellipse([x0, y0, x1, y1], outline=color,
+                         width=rng.randint(1, 4))
+        else:
+            draw.line([x0, y0, x1, y1], fill=color, width=rng.randint(1, 5))
+    return img
+
+
+def _mean_color(img: Image.Image, box) -> np.ndarray:
+    x0, y0, x1, y1 = [int(v) for v in box]
+    region = np.asarray(img)[max(y0, 0):max(y1, y0 + 1),
+                             max(x0, 0):max(x1, x0 + 1)]
+    if region.size == 0:
+        return np.array([128.0, 128.0, 128.0])
+    return region.reshape(-1, 3).mean(axis=0)
+
+
+def _text_fill(
+    rng: np.random.RandomState, bg_mean: np.ndarray
+) -> Tuple[int, int, int]:
+    """Contrast against the local background; 20% low-contrast cases."""
+    bright_bg = bg_mean.mean() > 127
+    lo_contrast = rng.rand() < 0.2
+    if bright_bg:
+        lo, hi = (60, 130) if lo_contrast else (0, 70)
+    else:
+        lo, hi = (130, 200) if lo_contrast else (185, 256)
+    return tuple(int(c) for c in rng.randint(lo, hi, 3))
+
+
+def _render_line(
+    img: Image.Image,
+    rng: np.random.RandomState,
+    y_hint: Optional[int] = None,
+    size: Optional[int] = None,
+) -> Optional[Tuple[float, ...]]:
+    """Draw one text line (possibly rotated); returns its 8-coord polygon."""
+    width, height = img.size
+    size = size or int(rng.choice(
+        [14, 16, 20, 24, 28, 32, 40, 48, 56, 72],
+        p=[0.08, 0.1, 0.14, 0.14, 0.13, 0.12, 0.11, 0.08, 0.06, 0.04],
+    ))
+    font = _pick_font(rng, size)
+    text = _line_text(rng)
+    probe = ImageDraw.Draw(img)
+    bbox = probe.textbbox((0, 0), text, font=font)
+    tw, th = bbox[2] - bbox[0], bbox[3] - bbox[1]
+    if tw >= width - 12 or th >= height - 12:
+        return None
+    x = rng.randint(4, max(5, width - tw - 8))
+    y = (y_hint if y_hint is not None
+         else rng.randint(4, max(5, height - th - 8)))
+    if y + th >= height - 4:
+        return None
+    angle = float(rng.uniform(-8, 8)) if rng.rand() < 0.3 else 0.0
+
+    fill = _text_fill(rng, _mean_color(img, (x, y, x + tw, y + th)))
+
+    if abs(angle) < 0.5:
+        d = ImageDraw.Draw(img)
+        b = d.textbbox((x, y), text, font=font)
+        d.text((x, y), text, font=font, fill=fill)
+        x0, y0, x1, y1 = b
+        return (x0, y0, x1, y0, x1, y1, x0, y1)
+
+    # rotated: render on a transparent layer, rotate about the line center
+    pad = 8
+    layer = Image.new("RGBA", (tw + 2 * pad, th + 2 * pad), (0, 0, 0, 0))
+    ld = ImageDraw.Draw(layer)
+    ld.text((pad - bbox[0], pad - bbox[1]), text, font=font,
+            fill=fill + (255,))
+    rot = layer.rotate(angle, expand=True, resample=Image.BICUBIC)
+    cx, cy = x + tw / 2.0, y + th / 2.0
+    px = int(round(cx - rot.width / 2.0))
+    py = int(round(cy - rot.height / 2.0))
+    if px < 0 or py < 0 or px + rot.width >= width or py + rot.height >= height:
+        return None
+    img.paste(rot, (px, py), rot)
+    # rotated corner polygon (PIL rotates counter-clockwise for angle > 0)
+    rad = np.deg2rad(angle)
+    c, s = np.cos(rad), np.sin(rad)
+    half = np.array([[-tw / 2, -th / 2], [tw / 2, -th / 2],
+                     [tw / 2, th / 2], [-tw / 2, th / 2]])
+    rotm = np.array([[c, s], [-s, c]])
+    pts = half @ rotm.T + np.array([cx, cy])
+    return tuple(float(v) for v in pts.reshape(-1))
 
 
 def render_image(
@@ -35,43 +209,30 @@ def render_image(
     max_lines: int = 6,
 ) -> Tuple[np.ndarray, List[Tuple[float, ...]]]:
     """One RGB uint8 image + list of 8-coord text-line polygons."""
-    base = rng.randint(0, 120)
-    img = Image.fromarray(
-        (base + rng.randn(height, width, 3) * 18).clip(0, 255).astype(np.uint8)
-    )
-    # background clutter: rectangles/ellipses
-    draw = ImageDraw.Draw(img)
-    for _ in range(rng.randint(2, 7)):
-        x0, y0 = rng.randint(0, width - 40), rng.randint(0, height - 40)
-        x1, y1 = x0 + rng.randint(20, 200), y0 + rng.randint(20, 200)
-        color = tuple(int(c) for c in rng.randint(0, 255, 3))
-        if rng.rand() < 0.5:
-            draw.rectangle([x0, y0, x1, y1], outline=color, width=rng.randint(1, 4))
-        else:
-            draw.ellipse([x0, y0, x1, y1], outline=color, width=rng.randint(1, 4))
+    img = _background(rng, width, height)
+    polys: List[Tuple[float, ...]] = []
 
-    polys = []
-    chars = string.ascii_letters + string.digits
+    if rng.rand() < 0.3:  # paragraph block: stacked lines, one size
+        size = int(rng.randint(16, 36))
+        y = rng.randint(8, height // 3)
+        for _ in range(rng.randint(2, 6)):
+            p = _render_line(img, rng, y_hint=y, size=size)
+            if p is not None:
+                polys.append(p)
+            y += int(size * rng.uniform(1.3, 1.9))
+            if y > height - size - 10:
+                break
+
     n_lines = rng.randint(1, max_lines + 1)
     for _ in range(n_lines):
-        size = int(rng.randint(18, 56))
-        font = _font(size)
-        text = "".join(rng.choice(list(chars)) for _ in range(rng.randint(4, 14)))
-        # light text on dark bg or vice versa
-        bright = rng.rand() < 0.5
-        fill = tuple(int(c) for c in (rng.randint(180, 255, 3) if bright
-                                      else rng.randint(0, 70, 3)))
-        for _attempt in range(10):
-            x = rng.randint(5, max(6, width - 60))
-            y = rng.randint(5, max(6, height - 60))
-            bbox = draw.textbbox((x, y), text, font=font)
-            if bbox[2] < width - 2 and bbox[3] < height - 2:
+        for _attempt in range(6):
+            p = _render_line(img, rng)
+            if p is not None:
+                polys.append(p)
                 break
-        else:
-            continue
-        draw.text((x, y), text, font=font, fill=fill)
-        x0, y0, x1, y1 = bbox
-        polys.append((x0, y0, x1, y0, x1, y1, x0, y1))
+
+    if rng.rand() < 0.25:
+        img = img.filter(ImageFilter.GaussianBlur(rng.uniform(0.4, 1.2)))
     return np.asarray(img), polys
 
 
@@ -89,10 +250,17 @@ def generate_dataset(
     os.makedirs(gt_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
     for i in range(n_images):
-        arr, polys = render_image(rng, width=width, height=height)
+        # vary canvas geometry so multiple shape buckets are exercised
+        if rng.rand() < 0.25:
+            w_i, h_i = height, width  # portrait
+        else:
+            w_i, h_i = width, height
+        arr, polys = render_image(rng, width=w_i, height=h_i)
         stem = f"synth_{i:05d}"
-        Image.fromarray(arr).save(osp.join(img_dir, stem + ".jpg"), quality=92)
+        Image.fromarray(arr).save(
+            osp.join(img_dir, stem + ".jpg"), quality=int(rng.randint(70, 96))
+        )
         with open(osp.join(gt_dir, f"gt_{stem}.txt"), "w") as f:
             for p in polys:
-                f.write(",".join(str(int(v)) for v in p) + ",text\n")
+                f.write(",".join(str(int(round(v))) for v in p) + ",text\n")
     return img_dir, gt_dir

@@ -139,6 +139,14 @@ def build_train_step(model: CTPN, feat_h: int, feat_w: int):
         new_state = new_state.replace(rng=rng)
         aux["grad_norm"] = optax.global_norm(grads)
         aux["learning_rate"] = make_lr_schedule()(state.step)
+        # norm of the applied parameter delta: the direct evidence that the
+        # LR decay reaches the optimizer (the reference's never did,
+        # `train.py:96,141-175` — its lr Variable was ignored by Adam)
+        aux["update_norm"] = optax.global_norm(
+            jax.tree_util.tree_map(
+                lambda a, b: a - b, new_state.params, state.params
+            )
+        )
         return new_state, aux
 
     return step

@@ -25,6 +25,8 @@ def main():
     p.add_argument("--iters", type=int, default=1000)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--stepsize", type=int, default=None,
+                   help="LR step-decay boundary (cfg.TRAIN.STEPSIZE)")
     p.add_argument("--no-dp", action="store_true")
     args = p.parse_args()
 
@@ -59,7 +61,9 @@ def main():
 
     print("== training ==", flush=True)
     cfg.TRAIN.LEARNING_RATE = args.lr
-    cfg.TRAIN.SNAPSHOT_ITERS = max(200, args.iters // 2)
+    if args.stepsize:
+        cfg.TRAIN.STEPSIZE = args.stepsize
+    cfg.TRAIN.SNAPSHOT_ITERS = max(200, args.iters // 6)
     cfg.TRAIN.DISPLAY = 20
     cfg.TRAIN.USE_FLIPPED = True
 
