@@ -45,7 +45,7 @@ def main():
 
     detect = jax.jit(build_detect_fn(model, mode="H"))
     images = jnp.asarray(
-        rng.uniform(0, 255, (batch, bh, bw, 3)).astype(np.float32)
+        rng.randint(0, 256, (batch, bh, bw, 3)).astype(np.uint8)
     )
     infos = jnp.asarray(
         np.tile(np.array([600, 900, 1.0], np.float32), (batch, 1))

@@ -182,6 +182,8 @@ def _default_cfg() -> AttrDict:
     p.MAX_LINES = 128  # padded text lines per image
     p.NMS_TILE = 256  # Pallas NMS bitmask row-tile size (multiple of 8)
     p.NMS_TILE_J = 2048  # Pallas NMS bitmask column-tile size (mult. of 16)
+    p.NMS_FUSED = True  # single-kernel NMS (build+resolve fused, early exit)
+    p.NMS_FUSED_BLOCK = 512  # fused NMS block size (multiple of 32)
     p.MESH_AXIS = "data"  # data-parallel mesh axis name
     p.PREFETCH_DEPTH = 2  # host->device pipeline depth
     p.REMAT = False  # rematerialize the backbone in the backward pass

@@ -54,8 +54,9 @@ def sample_to_arrays(
     bh, bw = bucket
     h = min(resized.shape[0], bh)
     w = min(resized.shape[1], bw)
-    img = np.zeros((bh, bw, 3), np.float32)
-    img[:h, :w] = resized[:h, :w].astype(np.float32)
+    # uint8 wire format: float conversion happens on device (4x less H2D)
+    img = np.zeros((bh, bw, 3), np.uint8)
+    img[:h, :w] = resized[:h, :w]
     im_info = np.array([h, w, f], np.float32)
 
     max_gt = cfg.TPU.MAX_GT

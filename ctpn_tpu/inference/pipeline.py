@@ -29,9 +29,13 @@ from ctpn_tpu.utils.image import load_image_bgr, prep_image, resize_im
 
 
 def forward_features(model: CTPN, params, images: jnp.ndarray):
-    """Mean-subtract (fused on device) + model forward."""
+    """Mean-subtract (fused on device) + model forward.
+
+    ``images`` may be uint8 (the wire format — 4x less host->device
+    traffic) or float32; normalization happens here on device either way.
+    """
     means = jnp.asarray(cfg.PIXEL_MEANS, dtype=jnp.float32)
-    x = images - means  # BGR means, broadcast over (N, H, W, 3)
+    x = images.astype(jnp.float32) - means  # BGR means over (N, H, W, 3)
     return model.apply({"params": params}, x)
 
 
@@ -45,7 +49,7 @@ def build_detect_fn(
 ):
     """Returns jit-able fn(params, images, im_info) -> (Proposals, TextLines).
 
-    ``images``: (N, bh, bw, 3) float32 BGR (not mean-subtracted),
+    ``images``: (N, bh, bw, 3) uint8 or float32 BGR (not mean-subtracted),
     ``im_info``: (N, 3).
     """
     pre_n = pre_nms_top_n or cfg.TEST.RPN_PRE_NMS_TOP_N
@@ -114,7 +118,7 @@ class CTPNPredictor:
         return self._fns[shape]
 
     def run_batch(self, images: np.ndarray, im_info: np.ndarray):
-        """(N, bh, bw, 3) float32 batch -> (Proposals, TextLines) on device."""
+        """(N, bh, bw, 3) uint8/float32 batch -> (Proposals, TextLines) on device."""
         fn = self._fn_for(images.shape[1:3])
         return fn(self.params, jnp.asarray(images), jnp.asarray(im_info))
 
@@ -180,7 +184,9 @@ class CTPNPredictor:
     def warmup(self, bucket: Optional[Tuple[int, int]] = None, batch: int = 1):
         """Compile-and-run on a gray dummy image (reference `demo.py:95-97`)."""
         bh, bw = bucket or tuple(cfg.TPU.BUCKETS[0])
-        img = np.full((batch, bh, bw, 3), 128.0, np.float32)
+        # uint8, matching the real wire format (a float dummy would compile
+        # a second program the serving path never uses)
+        img = np.full((batch, bh, bw, 3), 128, np.uint8)
         info = np.tile(np.array([bh, bw, 1.0], np.float32), (batch, 1))
         props, lines = self.run_batch(img, info)
         jax.block_until_ready(lines.recs)

@@ -43,13 +43,19 @@ class CTPN(nn.Module):
     lstm_hidden: int = 128
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    # None -> VGG16; tests pass a narrow ladder for fast CPU compiles
+    trunk_stages: Any = None
+    rpn_channels: int = 512
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> CTPNOutputs:
         """images: (N, H, W, 3) float32, BGR, pixel-mean subtracted."""
-        feat = VGG16Trunk(dtype=self.dtype, param_dtype=self.param_dtype)(images)
+        trunk_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.trunk_stages is not None:
+            trunk_kw["stages"] = self.trunk_stages
+        feat = VGG16Trunk(**trunk_kw)(images)
         rpn = nn.Conv(
-            512,
+            self.rpn_channels,
             (3, 3),
             padding="SAME",
             dtype=self.dtype,
@@ -59,7 +65,7 @@ class CTPN(nn.Module):
         rpn = nn.relu(rpn)
 
         lstm_o = BiLSTM(
-            hidden=self.lstm_hidden, d_out=512, dtype=self.dtype,
+            hidden=self.lstm_hidden, d_out=self.rpn_channels, dtype=self.dtype,
             param_dtype=self.param_dtype, name="bilstm",
         )(rpn)
 

@@ -16,7 +16,7 @@ TPU-first details:
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Tuple  # noqa: F401 — Tuple used in field annotation
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -32,15 +32,20 @@ VGG_STAGES: Tuple[Tuple[int, int, int], ...] = (
 
 
 class VGG16Trunk(nn.Module):
-    """Feature extractor: (N, H, W, 3) -> (N, H/16, W/16, 512)."""
+    """Feature extractor: (N, H, W, 3) -> (N, H/16, W/16, C_out).
+
+    ``stages`` defaults to VGG16; tests substitute a narrow 5-block ladder
+    (same stride-16 pooling structure) to keep CPU compile times down.
+    """
 
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    stages: Tuple[Tuple[int, int, int], ...] = VGG_STAGES
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x.astype(self.dtype)
-        for block, reps, ch in VGG_STAGES:
+        for block, reps, ch in self.stages:
             for rep in range(1, reps + 1):
                 x = nn.Conv(
                     ch,

@@ -201,11 +201,30 @@ def nms_keep_sorted(
     valid: jnp.ndarray,
     thresh: float,
     use_pallas: Optional[bool] = None,
+    max_keep: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Greedy-NMS keep mask for boxes already sorted by score descending."""
+    """Greedy-NMS keep mask for boxes already sorted by score descending.
+
+    ``max_keep``: callers that only consume the first K survivors (the
+    proposal layer's ``RPN_POST_NMS_TOP_N``) pass K so the fused kernel can
+    stop early — the first K keep flags are identical either way; flags
+    beyond the Kth kept box may be dropped.
+    """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
+        from ctpn_tpu.config import cfg
+
+        if cfg.TPU.NMS_FUSED:
+            from ctpn_tpu.ops.nms_fused import nms_keep_sorted_fused
+
+            return nms_keep_sorted_fused(
+                boxes[None],
+                valid[None],
+                thresh,
+                max_keep=max_keep,
+                block=int(cfg.TPU.NMS_FUSED_BLOCK),
+            )[0]
         from ctpn_tpu.ops.nms_pallas import suppression_bitmask_pallas
 
         mask = suppression_bitmask_pallas(boxes, valid, thresh)
@@ -260,8 +279,10 @@ def nms_keep_indices(
     order = jnp.flip(jnp.argsort(scores, stable=True))
     sorted_boxes = boxes[order]
     sorted_valid = valid[order]
-    keep_sorted = nms_keep_sorted(sorted_boxes, sorted_valid, thresh, use_pallas)
-    count = jnp.sum(keep_sorted.astype(jnp.int32))
+    keep_sorted = nms_keep_sorted(
+        sorted_boxes, sorted_valid, thresh, use_pallas, max_keep=max_out
+    )
+    count = jnp.minimum(jnp.sum(keep_sorted.astype(jnp.int32)), max_out)
     # compact: kept sorted positions first, original order preserved
     key = jnp.where(keep_sorted, jnp.arange(n), n + jnp.arange(n))
     compact = jnp.argsort(key)[:max_out]

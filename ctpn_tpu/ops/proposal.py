@@ -92,7 +92,9 @@ def proposal_layer(
     top_scores = scores[top]
     top_valid = valid[top]
 
-    keep = nms_keep_sorted(top_boxes, top_valid, nms_thresh, use_pallas)
+    keep = nms_keep_sorted(
+        top_boxes, top_valid, nms_thresh, use_pallas, max_keep=post_nms_top_n
+    )
 
     # compact survivors (sorted order preserved) into post_nms_top_n slots
     n = keep.shape[0]

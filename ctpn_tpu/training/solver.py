@@ -27,7 +27,7 @@ from ctpn_tpu.config import cfg
 from ctpn_tpu.data.minibatch import RoIDataLayer
 from ctpn_tpu.data.pipeline import PrefetchLoader
 from ctpn_tpu.models.ctpn import CTPN
-from ctpn_tpu.parallel.dp import replicate_state, shard_batch, shard_train_step
+from ctpn_tpu.parallel.dp import replicate_state, shard_train_step
 from ctpn_tpu.parallel.mesh import make_mesh
 from ctpn_tpu.training.train_step import (
     TrainState,
@@ -112,11 +112,25 @@ class SolverWrapper:
         log_every = log_every or cfg.TRAIN.DISPLAY
         from ctpn_tpu.data.minibatch import assemble_batch
 
+        from ctpn_tpu.parallel.mesh import data_sharding
+
         layer = RoIDataLayer(self.roidb, batch_size=self.batch_size)
+        sharding = data_sharding(self.mesh) if self.mesh is not None else None
+
+        def build_and_put(s):
+            batch = assemble_batch(*s)
+            # H2D in the worker thread: the tunnel put is synchronous, so
+            # doing it here overlaps transfer with the main loop's compute
+            if sharding is not None:
+                return jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, sharding), batch
+                )
+            return jax.tree_util.tree_map(jax.device_put, batch)
+
         loader = PrefetchLoader(
             sample_fn=layer.next_entries,
-            build_fn=lambda s: assemble_batch(*s),
-            workers=2,
+            build_fn=build_and_put,
+            workers=4,
         )
 
         # feature extent depends on the batch bucket; compile per bucket
@@ -154,8 +168,6 @@ class SolverWrapper:
                         else:
                             fn = jax.jit(fn, donate_argnums=(0,))
                         step_fns[key] = fn
-                    if self.mesh is not None:
-                        batch = shard_batch(batch, self.mesh)
                     state, metrics = step_fns[key](state, batch)
 
                 if (it + 1) % log_every == 0 or it == start_iter:

@@ -34,7 +34,7 @@ class TrainState(train_state.TrainState):
 class Batch(NamedTuple):
     """One padded training batch (all arrays fixed-shape, batch-major)."""
 
-    images: jnp.ndarray  # (N, bh, bw, 3) float32 BGR, not mean-subtracted
+    images: jnp.ndarray  # (N, bh, bw, 3) uint8 BGR wire format (or float32)
     im_info: jnp.ndarray  # (N, 3)
     gt_boxes: jnp.ndarray  # (N, G, 4)
     gt_valid: jnp.ndarray  # (N, G) bool
@@ -125,7 +125,9 @@ def build_train_step(model: CTPN, feat_h: int, feat_w: int):
             apply = jax.checkpoint(apply, static_argnums=())
 
         def loss_fn(params):
-            outs = apply({"params": params}, batch.images - means)
+            # images arrive uint8 (wire format); normalize on device
+            x = batch.images.astype(jnp.float32) - means
+            outs = apply({"params": params}, x)
             model_loss, aux = ctpn_loss(outs.cls_score, outs.bbox_pred, targets)
             reg = weight_decay_loss(params, wd)
             total = model_loss + reg

@@ -64,12 +64,14 @@ def prep_image(
     max_scale: int = None,
     bucket: Tuple[int, int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """RGB/BGR uint8 image -> (padded float32 BGR image, im_info).
+    """RGB/BGR uint8 image -> (padded uint8 BGR image, im_info).
 
-    Returns (bucket_h, bucket_w, 3) float32 (NOT mean-subtracted — that is
-    fused on device) and im_info [true_h, true_w, resize_factor].
-    Input is expected BGR to match the reference's cv2 convention; callers
-    loading via PIL should pass ``rgb_to_bgr`` first.
+    Returns (bucket_h, bucket_w, 3) uint8 (NOT mean-subtracted — float
+    conversion and normalization fuse on device; uint8 is the wire format,
+    4x less host->device traffic than float32) and im_info
+    [true_h, true_w, resize_factor]. Input is expected BGR to match the
+    reference's cv2 convention; callers loading via PIL should pass
+    ``rgb_to_bgr`` first.
     """
     # defaults mirror the TEST-stage resize (`test.py:18-24`); the demo CLI
     # additionally applies the TEXT.SCALE/MAX_SCALE pre-resize first, like
@@ -81,8 +83,8 @@ def prep_image(
     # clip to the hard cap in case of fallback bucket
     bh, bw = bucket if bucket is not None else pick_bucket(h, w)
     h2, w2 = min(h, bh), min(w, bw)
-    out = np.zeros((bh, bw, 3), dtype=np.float32)
-    out[:h2, :w2] = resized[:h2, :w2].astype(np.float32)
+    out = np.zeros((bh, bw, 3), dtype=np.uint8)
+    out[:h2, :w2] = resized[:h2, :w2]
     im_info = np.array([h2, w2, f], dtype=np.float32)
     return out, im_info
 

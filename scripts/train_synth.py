@@ -37,9 +37,15 @@ def main():
     os.makedirs(args.root, exist_ok=True)
 
     print("== generating synthetic dataset ==", flush=True)
-    img_dir, gt_dir = generate_dataset(
-        osp.join(args.root, "raw"), n_images=args.images + args.holdout
+    raw = osp.join(args.root, "raw")
+    img_dir, gt_dir = osp.join(raw, "image"), osp.join(raw, "label")
+    n_total = args.images + args.holdout
+    have = (
+        len([f for f in os.listdir(img_dir) if f.endswith(".jpg")])
+        if osp.isdir(img_dir) else 0
     )
+    if have != n_total:  # deterministic (seeded); reuse when complete
+        img_dir, gt_dir = generate_dataset(raw, n_images=n_total)
     # holdout split: move the tail out of the training set
     all_stems = sorted(
         osp.splitext(f)[0] for f in os.listdir(img_dir) if f.endswith(".jpg")

@@ -82,6 +82,18 @@ def test_full_cli_flow(tiny_env):
     assert any(f.startswith("res_") and f.endswith(".txt") for f in outs)
     assert any(f.endswith(".jpg") for f in outs)
 
+    # 5. oriented mode over the same artifact (reference demo.py with
+    # DETECT_MODE: O -> data/oriented_results)
+    results_o = str(tmp_path / "results_o")
+    demo_main([
+        "--artifact", art,
+        "--images", osp.join(out_voc, "VOC2007", "JPEGImages"),
+        "--output", results_o,
+        "--mode", "O",
+    ])
+    outs_o = os.listdir(results_o)
+    assert any(f.startswith("res_") and f.endswith(".txt") for f in outs_o)
+
 
 def test_resume_from_checkpoint(tiny_env):
     tmp_path, img_dir, gt_dir = tiny_env

@@ -29,15 +29,12 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_demo_golden_agreement(tmp_path):
-    from ctpn_tpu.eval import compare_result_dirs
+def _run_demo_to_dir(out_dir, mode: str):
     from ctpn_tpu.inference.pipeline import CTPNPredictor
     from ctpn_tpu.utils.image import load_image_bgr
     from ctpn_tpu.utils.weights import load_params
 
-    predictor = CTPNPredictor(load_params(ARTIFACT), mode="H")
-    out_dir = tmp_path / "results"
-    out_dir.mkdir()
+    predictor = CTPNPredictor(load_params(ARTIFACT), mode=mode)
     paths = sorted(
         sum((glob.glob(osp.join(REF_DEMO, e)) for e in ("*.jpg", "*.png")), [])
     )
@@ -45,11 +42,38 @@ def test_demo_golden_agreement(tmp_path):
     for path in paths:
         recs = predictor.detect_image(load_image_bgr(path))
         stem = osp.splitext(osp.basename(path))[0]
-        with open(out_dir / f"res_{stem}.txt", "w") as f:
+        with open(osp.join(out_dir, f"res_{stem}.txt"), "w") as f:
             for box in recs:
                 xs, ys = box[0:8:2], box[1:8:2]
                 f.write(
                     f"{int(min(xs))},{int(min(ys))},{int(max(xs))},{int(max(ys))}\r\n"
                 )
+    return paths
+
+
+def test_demo_golden_agreement(tmp_path):
+    from ctpn_tpu.eval import compare_result_dirs
+
+    out_dir = tmp_path / "results"
+    out_dir.mkdir()
+    _run_demo_to_dir(str(out_dir), "H")
     score = compare_result_dirs(str(out_dir), REF_RESULTS)
     assert score["f_measure"] >= 0.995, score
+
+
+def test_demo_golden_agreement_oriented(tmp_path):
+    """O-mode gate (`text_proposal_connector_oriented.py:24-105`).
+
+    The reference ships only overlay JPGs for oriented mode
+    (`data/oriented_results/` has no res txt), so the quantitative gate
+    compares O-mode axis-aligned hulls against the H-mode golden boxes:
+    both connectors group the same proposals, so their hulls must agree to
+    a looser-but-high bar on the same images.
+    """
+    from ctpn_tpu.eval import compare_result_dirs
+
+    out_dir = tmp_path / "results_o"
+    out_dir.mkdir()
+    _run_demo_to_dir(str(out_dir), "O")
+    score = compare_result_dirs(str(out_dir), REF_RESULTS)
+    assert score["f_measure"] >= 0.9, score

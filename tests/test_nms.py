@@ -62,9 +62,19 @@ def test_nms_keep_indices_order_and_count(rng):
     idx, count = N.nms_keep_indices(
         jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_out=64
     )
+    # count reports the number of VALID slots in the max_out-sized output
+    # (clipped — with a fused early-exit NMS the total beyond max_out is
+    # deliberately never computed)
     count = int(count)
-    assert count == len(want)
-    np.testing.assert_array_equal(np.asarray(idx)[: min(count, 64)], want[:64])
+    assert count == min(len(want), 64)
+    np.testing.assert_array_equal(np.asarray(idx)[:count], want[:count])
+
+    # small max_out exercises the clip; large max_out reports the true total
+    idx2, count2 = N.nms_keep_indices(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.5, max_out=120
+    )
+    assert int(count2) == len(want)
+    np.testing.assert_array_equal(np.asarray(idx2)[: len(want)], want)
 
 
 def test_bitmask_jnp_vs_pallas_interpret(rng):
@@ -123,3 +133,106 @@ def test_bitmask_pallas_tile_knob(rng):
         )
     )
     np.testing.assert_array_equal(got, want)
+
+
+# ---- fused single-kernel NMS (ops/nms_fused.py) ----
+
+def _sorted_dets(rng, n, **kw):
+    boxes, scores = _dets(rng, n, **kw)
+    order = np.argsort(scores, kind="stable")[::-1]
+    return boxes[order], scores[order]
+
+
+@pytest.mark.parametrize("thresh", [0.2, 0.7])
+@pytest.mark.parametrize("n", [33, 300, 1100])
+def test_fused_nms_matches_oracle(rng, thresh, n):
+    from ctpn_tpu.ops.nms_fused import nms_keep_sorted_fused
+
+    sb, ss = _sorted_dets(rng, n)
+    want = np.zeros(n, bool)
+    want[H.py_nms(np.hstack([sb, ss[:, None]]), thresh)] = True
+    got = np.asarray(
+        nms_keep_sorted_fused(
+            jnp.asarray(sb)[None], jnp.ones((1, n), bool), thresh
+        )
+    )[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_nms_batch_and_validity(rng):
+    from ctpn_tpu.ops.nms_fused import nms_keep_sorted_fused
+
+    n, batch = 700, 3
+    sbs, wants, valids = [], [], []
+    for _ in range(batch):
+        sb, ss = _sorted_dets(rng, n)
+        valid = rng.rand(n) > 0.3
+        dets = np.hstack([sb, ss[:, None]])[valid]
+        kept_rows = np.flatnonzero(valid)[H.py_nms(dets, 0.5)]
+        want = np.zeros(n, bool)
+        want[kept_rows] = True
+        sbs.append(sb), wants.append(want), valids.append(valid)
+    got = np.asarray(
+        nms_keep_sorted_fused(
+            jnp.asarray(np.stack(sbs)), jnp.asarray(np.stack(valids)), 0.5
+        )
+    )
+    for b in range(batch):
+        np.testing.assert_array_equal(got[b], wants[b])
+
+
+def test_fused_nms_early_exit_prefix(rng):
+    """max_keep stops the scan; the first max_keep survivors are exact."""
+    from ctpn_tpu.ops.nms_fused import nms_keep_sorted_fused
+
+    n, mk = 2100, 64
+    sb, ss = _sorted_dets(rng, n)
+    want_idx = np.asarray(H.py_nms(np.hstack([sb, ss[:, None]]), 0.7))
+    got = np.asarray(
+        nms_keep_sorted_fused(
+            jnp.asarray(sb)[None], jnp.ones((1, n), bool), 0.7, max_keep=mk
+        )
+    )[0]
+    got_idx = np.flatnonzero(got)
+    assert len(got_idx) >= min(mk, len(want_idx))
+    np.testing.assert_array_equal(got_idx[:mk], want_idx[:mk])
+
+
+def test_fused_nms_dense_chains(rng):
+    """Heavily-overlapping boxes exercise deep suppression chains."""
+    from ctpn_tpu.ops.nms_fused import nms_keep_sorted_fused
+
+    n = 600
+    base = np.array([100.0, 100.0, 180.0, 140.0])
+    jitter = rng.randn(n, 4).astype(np.float32) * 6
+    boxes = (base[None, :] + jitter).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    order = np.argsort(scores, kind="stable")[::-1]
+    sb = boxes[order]
+    want = np.zeros(n, bool)
+    want[H.py_nms(np.hstack([sb, scores[order][:, None]]), 0.5)] = True
+    got = np.asarray(
+        nms_keep_sorted_fused(jnp.asarray(sb)[None], jnp.ones((1, n), bool), 0.5)
+    )[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_nms_under_vmap(rng):
+    """detect_lines vmaps over the batch; the kernel must survive vmap."""
+    import jax
+
+    from ctpn_tpu.ops.nms_fused import nms_keep_sorted_fused
+
+    n, batch = 500, 2
+    sbs, wants = [], []
+    for _ in range(batch):
+        sb, ss = _sorted_dets(rng, n)
+        want = np.zeros(n, bool)
+        want[H.py_nms(np.hstack([sb, ss[:, None]]), 0.4)] = True
+        sbs.append(sb), wants.append(want)
+    f = lambda b, v: nms_keep_sorted_fused(b[None], v[None], 0.4)[0]
+    got = np.asarray(
+        jax.vmap(f)(jnp.asarray(np.stack(sbs)), jnp.ones((batch, n), bool))
+    )
+    for b in range(batch):
+        np.testing.assert_array_equal(got[b], wants[b])

@@ -19,6 +19,15 @@ from ctpn_tpu.training.train_step import (
 BH, BW = 64, 80
 FH, FW = 4, 5
 
+# narrow trunk (same stride-16 structure) + small LSTM: the structural
+# properties under test (DP == single device, remat == plain, loss
+# decreases) are model-size independent, and the full VGG16 backward graph
+# costs minutes of XLA CPU compile per jit variant. The full-size model
+# still compiles in tests via test_graft_entry_dryrun (env-gated) and runs
+# every round through the driver's dryrun_multichip.
+TINY_STAGES = ((1, 1, 8), (2, 1, 8), (3, 1, 16), (4, 1, 16), (5, 1, 16))
+TINY = dict(trunk_stages=TINY_STAGES, lstm_hidden=16, rpn_channels=32)
+
 
 def _toy_batch(rng, n):
     """Images with a bright strip row as 'text', gt boxes on the strips."""
@@ -72,8 +81,8 @@ def test_weight_decay_excludes_lstm_and_biases(rng):
 
 
 def test_loss_decreases_on_toy_data(rng):
-    cfg.TRAIN.LEARNING_RATE = 3e-4  # speed up the smoke test
-    model = CTPN(dtype=jnp.float32)
+    cfg.TRAIN.LEARNING_RATE = 3e-3  # speed up the smoke test
+    model = CTPN(dtype=jnp.float32, **TINY)
     state = create_train_state(jax.random.PRNGKey(0), model, (1, BH, BW, 3))
     step = jax.jit(build_train_step(model, FH, FW))
     batch = _toy_batch(rng, 2)
@@ -88,7 +97,7 @@ def test_loss_decreases_on_toy_data(rng):
 def test_dp_step_matches_single_device(rng):
     n_dev = min(4, jax.device_count())
     assert n_dev >= 2, "conftest should provide 8 cpu devices"
-    model = CTPN(dtype=jnp.float32)
+    model = CTPN(dtype=jnp.float32, **TINY)
     state0 = create_train_state(jax.random.PRNGKey(1), model, (1, BH, BW, 3))
     batch = _toy_batch(rng, n_dev)
     step_fn = build_train_step(model, FH, FW)
@@ -112,6 +121,13 @@ def test_dp_step_matches_single_device(rng):
 
 
 def test_graft_entry_dryrun():
+    """Full-size model multichip dryrun — the driver runs this every round
+    (MULTICHIP_r*.json); in the suite it is gated to keep CPU wall-time
+    down. Set CTPN_FULL_TESTS=1 to run it here."""
+    import os
+
+    if os.environ.get("CTPN_FULL_TESTS") != "1":
+        pytest.skip("full-size dryrun covered by the driver; CTPN_FULL_TESTS=1 to force")
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(min(4, jax.device_count()))
@@ -119,7 +135,7 @@ def test_graft_entry_dryrun():
 
 def test_remat_step_matches_plain(rng):
     """jax.checkpoint rematerialization must not change the update."""
-    model = CTPN(dtype=jnp.float32)
+    model = CTPN(dtype=jnp.float32, **TINY)
     state0 = create_train_state(jax.random.PRNGKey(2), model, (1, BH, BW, 3))
     batch = _toy_batch(rng, 2)
     cfg.TPU.REMAT = False
@@ -144,7 +160,7 @@ def test_dp_inference_sharding(rng):
 
     n_dev = min(4, jax.device_count())
     mesh = make_mesh(jax.devices()[:n_dev])
-    model = CTPN(dtype=jnp.float32)
+    model = CTPN(dtype=jnp.float32, **TINY)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, BH, BW, 3)))["params"]
     params = jax.device_put(params, replicated(mesh))
     detect = build_detect_fn(model, mode="H", pre_nms_top_n=150,
