@@ -33,8 +33,8 @@ def main():
     backend = jax.default_backend()
 
     bh, bw = 608, 912
-    # batch 16 is the single-chip throughput sweet spot (see docs/PERFORMANCE.md)
-    batch = int(os.environ.get("BENCH_BATCH", "16" if backend == "tpu" else "2"))
+    # batch 32 is the single-chip throughput sweet spot (see docs/PERFORMANCE.md)
+    batch = int(os.environ.get("BENCH_BATCH", "32" if backend == "tpu" else "2"))
     iters = int(os.environ.get("BENCH_ITERS", "20" if backend == "tpu" else "2"))
 
     model = get_network("VGGnet_test")

@@ -90,56 +90,86 @@ def _fused_kernel(
 
         # -- suppression by kept boxes of earlier blocks (score order) -----
         def chunk(c, ext):
-            def with_chunk(ext):
-                cols = cols_ref[0, c]  # (8, B)
-                kept_c = keep_ref[0, c, 0]  # (B,) f32 0/1
-                over = _iou_supp(rows, cols, thresh)  # row i supp'd by col j
-                hit = jnp.max(
-                    jnp.where(kept_c[None, :] > 0.5,
-                              over.astype(jnp.float32), 0.0),
-                    axis=1,
-                )
-                return jnp.maximum(ext, hit)
+            cols = cols_ref[0, c]  # (8, B)
+            kept_c = keep_ref[0, c, 0]  # (B,) f32 0/1
+            over = _iou_supp(rows, cols, thresh)  # row i supp'd by col j
+            hit = jnp.max(
+                jnp.where(kept_c[None, :] > 0.5,
+                          over.astype(jnp.float32), 0.0),
+                axis=1,
+            )
+            return jnp.maximum(ext, hit)
 
-            return jax.lax.cond(c < b, with_chunk, lambda e: e, ext)
-
+        # dynamic bound: only the b earlier blocks can hold kept suppressors
         ext = jax.lax.fori_loop(
-            0, nb, chunk, jnp.zeros((block,), jnp.float32)
+            0, b, chunk, jnp.zeros((block,), jnp.float32)
         )
-        base = base_valid & (ext < 0.5)
 
         # -- exact in-block greedy via sequential SUB-wide sub-blocks ------
+        # Mosaic-friendly scheme: never place a SUB-wide piece back into a
+        # full-width vector (dynamic_update_slice / concatenate do not
+        # lower); instead accumulate suppression full-width. A box is kept
+        # iff it is valid and nothing earlier-kept suppresses it, so the
+        # final keep flags fall out of the accumulator directly.
         supp = _iou_supp(rows, rows, thresh)  # (B, B); i==j handled below
         suppf = supp.astype(jnp.float32)
         tri = (
             jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
             > jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
         )
-        kept = jnp.zeros((block,), jnp.float32)
+        # greedy-order mask for full-width row hits: row (global in-block
+        # index lo+i) suppresses column j only when j > lo+i
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (SUB, block), 0)
+        col_j = jax.lax.broadcasted_iota(jnp.int32, (SUB, block), 1)
+        supp_acc = ext  # (B,) suppression by kept boxes seen so far
         for s in range(block // SUB):  # static unroll: static lane slices
             lo = s * SUB
-            # suppression of this sub's boxes by kept earlier in-block boxes
-            ext_s = jnp.max(
-                jnp.where(kept[:, None] > 0.5, suppf[:, lo:lo + SUB], 0.0),
-                axis=0,
-            )
-            base_s = base[lo:lo + SUB] & (ext_s < 0.5)
+            base_s = base_valid[lo:lo + SUB] & (supp_acc[lo:lo + SUB] < 0.5)
             local = jnp.where(
                 tri, suppf[lo:lo + SUB, lo:lo + SUB], 0.0
             )  # i suppresses j only for i < j
 
-            def sweep(_, act):
+            def sweep(act):
                 hit = jnp.max(
                     jnp.where(act[:, None] > 0.5, local, 0.0), axis=0
                 )
                 return jnp.where(base_s, (hit < 0.5).astype(jnp.float32), 0.0)
 
-            # after k sweeps the first k boxes are final => SUB sweeps exact
-            act = jax.lax.fori_loop(
-                0, SUB, sweep, base_s.astype(jnp.float32)
-            )
-            kept = jax.lax.dynamic_update_slice(kept, act, (lo,))
+            # After k sweeps the first k boxes are final => SUB sweeps are
+            # always exact. Any fixed point equals the greedy solution (the
+            # greedy recurrence has a unique solution by induction on j), so
+            # stop as soon as a sweep changes nothing — typically 3-8 sweeps
+            # instead of SUB.
+            def sweep_cond(state):
+                t, act, prev_changed = state
+                return (t < SUB) & prev_changed
 
+            def sweep_body(state):
+                t, act, _ = state
+                nxt = sweep(act)
+                changed = jnp.any(nxt != act)
+                return t + 1, nxt, changed
+
+            _, act, _ = jax.lax.while_loop(
+                sweep_cond,
+                sweep_body,
+                (jnp.int32(0), base_s.astype(jnp.float32), jnp.bool_(True)),
+            )
+            # fold this sub's kept boxes into the full-width accumulator
+            # (order mask keeps it exact for both in-sub and later columns)
+            hit_full = jnp.max(
+                jnp.where(
+                    (act[:, None] > 0.5) & (col_j > lo + row_i),
+                    suppf[lo:lo + SUB, :],
+                    0.0,
+                ),
+                axis=0,
+            )
+            supp_acc = jnp.maximum(supp_acc, hit_full)
+
+        kept = jnp.where(
+            base_valid, (supp_acc < 0.5).astype(jnp.float32), 0.0
+        )
         keep_ref[0, b, 0] = kept
         count_ref[0] = count_ref[0] + jnp.sum(kept).astype(jnp.int32)
 

@@ -84,13 +84,28 @@ def proposal_layer(
     valid &= (cell_y < im_h) & (cell_x < im_w)
 
     # sort by score desc (ties: descending index, matching argsort()[::-1]),
-    # invalid rows pushed to the end
+    # invalid rows pushed to the end. A multi-operand lax.sort carries the
+    # box columns as payload — an argsort + gathers formulation offloads the
+    # (K, 4) gathers to SparseCore on v5e, which profiled ~4x slower than
+    # sorting the payload in place.
     sort_scores = jnp.where(valid, scores, -jnp.inf)
-    order = jnp.flip(jnp.argsort(sort_scores, stable=True))
-    top = order[:pre_nms_top_n]
-    top_boxes = boxes[top]
-    top_scores = scores[top]
-    top_valid = valid[top]
+    s_key, s_x1, s_y1, s_x2, s_y2, s_valid = jax.lax.sort(
+        (sort_scores, boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3],
+         valid),
+        dimension=0,
+        is_stable=True,
+        num_keys=1,
+    )
+    # ascending stable + flip == descending with ties toward larger index
+    lo = max(k - pre_nms_top_n, 0)
+    top_boxes = jnp.flip(
+        jnp.stack([s_x1[lo:], s_y1[lo:], s_x2[lo:], s_y2[lo:]], axis=1),
+        axis=0,
+    )
+    # kept rows are always valid, where sort key == raw score; invalid rows'
+    # raw scores are never consumed downstream
+    top_scores = jnp.flip(s_key[lo:])
+    top_valid = jnp.flip(s_valid[lo:])
 
     keep = nms_keep_sorted(
         top_boxes, top_valid, nms_thresh, use_pallas, max_keep=post_nms_top_n

@@ -1,0 +1,77 @@
+"""Fused Pallas stem kernel vs the stock XLA conv path (interpret mode).
+
+The kernel must reproduce relu(conv(relu(conv(x)+b1))+b2) |> maxpool2x2 with
+bf16 operands and f32 accumulation to bf16 resolution, including the SAME
+zero-padding semantics at image borders (`lib/networks/network.py:176-180`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctpn_tpu.ops.stem_pallas import fused_stem_block
+
+
+def _stock(x, w1, b1, w2, b2):
+    def conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16),
+            k.astype(jnp.bfloat16),
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+
+    y = jnp.maximum(conv(x, w1) + b1, 0).astype(jnp.bfloat16)
+    y = jnp.maximum(conv(y, w2) + b2, 0).astype(jnp.bfloat16)
+    return jax.lax.reduce_window(
+        y,
+        jnp.asarray(-np.inf, jnp.bfloat16),
+        jax.lax.max,
+        (1, 2, 2, 1),
+        (1, 2, 2, 1),
+        "VALID",
+    )
+
+
+@pytest.mark.parametrize("shape", [(2, 64, 96), (1, 32, 48)])
+def test_fused_stem_matches_stock_convs(rng, shape):
+    n, h, w = shape
+    x = jnp.asarray(rng.randn(n, h, w, 3).astype(np.float32) * 50)
+    w1 = jnp.asarray(rng.randn(3, 3, 3, 64).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(3, 3, 64, 64).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+
+    got = np.asarray(fused_stem_block(x, w1, b1, w2, b2).astype(jnp.float32))
+    want = np.asarray(_stock(x, w1, b1, w2, b2).astype(jnp.float32))
+    assert got.shape == (n, h // 2, w // 2, 64)
+    rel = np.abs(got - want) / (np.abs(want) + 1.0)
+    # bf16 resolution: sums are reassociated (im2col vs feature groups)
+    assert rel.max() < 1e-2, rel.max()
+
+
+def test_fused_stem_border_ring_is_zero_padded(rng):
+    """Bias must NOT leak through the SAME-padding ring: an all-zero image
+    with a large conv1 bias exercises exactly the relu(bias)-vs-zero halo."""
+    n, h, w = 1, 32, 48
+    x = jnp.zeros((n, h, w, 3), jnp.float32)
+    w1 = jnp.asarray(rng.randn(3, 3, 3, 64).astype(np.float32) * 0.05)
+    b1 = jnp.full((64,), 3.0, jnp.float32)
+    w2 = jnp.asarray(rng.randn(3, 3, 64, 64).astype(np.float32) * 0.05)
+    b2 = jnp.zeros((64,), jnp.float32)
+
+    got = np.asarray(fused_stem_block(x, w1, b1, w2, b2).astype(jnp.float32))
+    want = np.asarray(_stock(x, w1, b1, w2, b2).astype(jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+
+def test_fused_stem_rejects_bad_geometry(rng):
+    x = jnp.zeros((1, 20, 48, 3), jnp.float32)  # H % 8 != 0
+    w1 = jnp.zeros((3, 3, 3, 64), jnp.float32)
+    b = jnp.zeros((64,), jnp.float32)
+    w2 = jnp.zeros((3, 3, 64, 64), jnp.float32)
+    with pytest.raises(ValueError):
+        fused_stem_block(x, w1, b, w2, b)
