@@ -184,6 +184,10 @@ def _default_cfg() -> AttrDict:
     p.NMS_TILE_J = 2048  # Pallas NMS bitmask column-tile size (mult. of 16)
     p.NMS_FUSED = True  # single-kernel NMS (build+resolve fused, early exit)
     p.NMS_FUSED_BLOCK = 512  # fused NMS block size (multiple of 32)
+    # route VGG block 1 through the fused Pallas stem (inference graphs
+    # only). Default off: slower than XLA on DMA-limited backends — see
+    # docs/PERFORMANCE.md "Fused-stem kernel post-mortem"
+    p.FUSED_STEM = False
     p.MESH_AXIS = "data"  # data-parallel mesh axis name
     p.PREFETCH_DEPTH = 2  # host->device pipeline depth
     p.REMAT = False  # rematerialize the backbone in the backward pass

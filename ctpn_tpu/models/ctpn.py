@@ -46,11 +46,16 @@ class CTPN(nn.Module):
     # None -> VGG16; tests pass a narrow ladder for fast CPU compiles
     trunk_stages: Any = None
     rpn_channels: int = 512
+    fused_stem: bool = False  # route VGG block 1 through ops/stem_pallas.py
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> CTPNOutputs:
         """images: (N, H, W, 3) float32, BGR, pixel-mean subtracted."""
-        trunk_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        trunk_kw = dict(
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            fused_stem=self.fused_stem,
+        )
         if self.trunk_stages is not None:
             trunk_kw["stages"] = self.trunk_stages
         feat = VGG16Trunk(**trunk_kw)(images)

@@ -19,7 +19,11 @@ _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
 def get_network(name: str) -> CTPN:
     if name not in ("VGGnet_train", "VGGnet_test", "ctpn"):
         raise KeyError(f"Unknown network: {name}")
+    # the fused Pallas stem is an inference-path option (no custom VJP);
+    # the training graph always uses the stock convs
+    fused_stem = bool(cfg.TPU.FUSED_STEM) and name == "VGGnet_test"
     return CTPN(
         dtype=_DTYPES[cfg.TPU.COMPUTE_DTYPE],
         param_dtype=_DTYPES[cfg.TPU.PARAM_DTYPE],
+        fused_stem=fused_stem,
     )

@@ -75,3 +75,25 @@ def test_fused_stem_rejects_bad_geometry(rng):
     w2 = jnp.zeros((3, 3, 64, 64), jnp.float32)
     with pytest.raises(ValueError):
         fused_stem_block(x, w1, b, w2, b)
+
+
+def test_fused_stem_model_shares_param_tree(rng):
+    """CTPN(fused_stem=True) must load any stock-trained checkpoint: same
+    tree structure, same init values, same outputs to bf16 resolution."""
+    import jax
+
+    from ctpn_tpu.models.ctpn import CTPN
+
+    x = jnp.asarray(rng.randn(1, 64, 96, 3).astype(np.float32) * 30)
+    stock, fused = CTPN(), CTPN(fused_stem=True)
+    p0 = stock.init(jax.random.PRNGKey(0), x)["params"]
+    p1 = fused.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    o0 = stock.apply({"params": p0}, x)
+    o1 = fused.apply({"params": p0}, x)
+    np.testing.assert_allclose(
+        np.asarray(o0.cls_prob), np.asarray(o1.cls_prob), atol=5e-3
+    )
