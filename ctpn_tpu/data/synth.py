@@ -13,6 +13,9 @@ Rendering variety (round 2): real TTF fonts (all DejaVu faces found in the
 matplotlib data dir), word-like strings, sizes 14-72 px, small rotations,
 paragraph blocks, gradient/texture backgrounds, low-contrast cases, and
 optional blur — aimed at weights that transfer to real photographs.
+Ground truth is PER WORD (ICDAR-style): line-level boxes spanning wide
+spaces are unreachable for the text connector by construction
+(`text_proposal_graph_builder.py:10-20` caps gaps at 50 px).
 """
 
 from __future__ import annotations
@@ -144,13 +147,33 @@ def _text_fill(
     return tuple(int(c) for c in rng.randint(lo, hi, 3))
 
 
+def _word_boxes(probe, text: str, font, x: float, y: float):
+    """Axis-aligned bbox of every word of ``text`` drawn at (x, y).
+
+    Ground truth is per WORD (ICDAR-style, the labeling the CTPN family is
+    designed for): the text connector splits lines at horizontal gaps >
+    ``MAX_HORIZONTAL_GAP`` (`text_proposal_graph_builder.py:10-20`), so a
+    line-level box spanning wide spaces is unreachable by construction.
+    """
+    out = []
+    prefix = ""
+    for word in text.split(" "):
+        off = probe.textlength(prefix, font=font) if prefix else 0.0
+        b = probe.textbbox((x + off, y), word, font=font)
+        if b[2] > b[0] and b[3] > b[1]:
+            out.append(b)
+        prefix += word + " "
+    return out
+
+
 def _render_line(
     img: Image.Image,
     rng: np.random.RandomState,
     y_hint: Optional[int] = None,
     size: Optional[int] = None,
-) -> Optional[Tuple[float, ...]]:
-    """Draw one text line (possibly rotated); returns its 8-coord polygon."""
+) -> Optional[List[Tuple[float, ...]]]:
+    """Draw one text line (possibly rotated); returns per-word 8-coord
+    polygons (None if the line did not fit)."""
     width, height = img.size
     size = size or int(rng.choice(
         [14, 16, 20, 24, 28, 32, 40, 48, 56, 72],
@@ -174,10 +197,11 @@ def _render_line(
 
     if abs(angle) < 0.5:
         d = ImageDraw.Draw(img)
-        b = d.textbbox((x, y), text, font=font)
+        boxes = _word_boxes(d, text, font, x, y)
         d.text((x, y), text, font=font, fill=fill)
-        x0, y0, x1, y1 = b
-        return (x0, y0, x1, y0, x1, y1, x0, y1)
+        return [
+            (x0, y0, x1, y0, x1, y1, x0, y1) for x0, y0, x1, y1 in boxes
+        ] or None
 
     # rotated: render on a transparent layer, rotate about the line center
     pad = 8
@@ -192,14 +216,21 @@ def _render_line(
     if px < 0 or py < 0 or px + rot.width >= width or py + rot.height >= height:
         return None
     img.paste(rot, (px, py), rot)
-    # rotated corner polygon (PIL rotates counter-clockwise for angle > 0)
+    # rotate each word's corners about the line center
+    # (PIL rotates counter-clockwise for angle > 0)
     rad = np.deg2rad(angle)
     c, s = np.cos(rad), np.sin(rad)
-    half = np.array([[-tw / 2, -th / 2], [tw / 2, -th / 2],
-                     [tw / 2, th / 2], [-tw / 2, th / 2]])
     rotm = np.array([[c, s], [-s, c]])
-    pts = half @ rotm.T + np.array([cx, cy])
-    return tuple(float(v) for v in pts.reshape(-1))
+    center = np.array([cx, cy])
+    line_origin = np.array([x + tw / 2.0, y + th / 2.0])
+    polys = []
+    for x0, y0, x1, y1 in _word_boxes(probe, text, font, x, y):
+        corners = np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64
+        )
+        pts = (corners - line_origin) @ rotm.T + center
+        polys.append(tuple(float(v) for v in pts.reshape(-1)))
+    return polys or None
 
 
 def render_image(
@@ -208,7 +239,7 @@ def render_image(
     height: int = 600,
     max_lines: int = 6,
 ) -> Tuple[np.ndarray, List[Tuple[float, ...]]]:
-    """One RGB uint8 image + list of 8-coord text-line polygons."""
+    """One RGB uint8 image + list of 8-coord per-word text polygons."""
     img = _background(rng, width, height)
     polys: List[Tuple[float, ...]] = []
 
@@ -218,7 +249,7 @@ def render_image(
         for _ in range(rng.randint(2, 6)):
             p = _render_line(img, rng, y_hint=y, size=size)
             if p is not None:
-                polys.append(p)
+                polys.extend(p)
             y += int(size * rng.uniform(1.3, 1.9))
             if y > height - size - 10:
                 break
@@ -228,7 +259,7 @@ def render_image(
         for _attempt in range(6):
             p = _render_line(img, rng)
             if p is not None:
-                polys.append(p)
+                polys.extend(p)
                 break
 
     if rng.rand() < 0.25:

@@ -86,14 +86,29 @@ class PascalVOC:
     def gt_roidb(self) -> List[dict]:
         """Per-image gt dicts, pickle-cached like `pascal_voc.py:83-102`.
 
-        Unlike the reference, the cache key is salted with the devkit path —
-        two datasets sharing a name (e.g. in tests) must not collide.
+        Unlike the reference, the cache key is salted with the devkit path
+        AND the split-file content + annotation mtimes — two datasets
+        sharing a name (e.g. in tests) must not collide, and REGENERATED
+        data at the same path must not serve a stale cache (the reference
+        requires a manual `rm data/cache/*` there).
         """
         import hashlib
 
-        salt = hashlib.sha1(
-            osp.abspath(self._devkit_path).encode()
-        ).hexdigest()[:10]
+        h = hashlib.sha1(osp.abspath(self._devkit_path).encode())
+        split_file = osp.join(
+            self._data_path, "ImageSets", "Main", self._image_set + ".txt"
+        )
+        if osp.exists(split_file):
+            with open(split_file, "rb") as f:
+                h.update(f.read())
+        ann_dir = osp.join(self._data_path, "Annotations")
+        if osp.isdir(ann_dir):
+            stamps = sorted(
+                f"{e.name}:{e.stat().st_mtime_ns}"
+                for e in os.scandir(ann_dir)
+            )
+            h.update("|".join(stamps).encode())
+        salt = h.hexdigest()[:10]
         cache_file = osp.join(
             self.cache_path, f"{self.name}_{salt}_gt_roidb.pkl"
         )
