@@ -63,7 +63,12 @@ def main(argv=None):
         params = convert_tf_vars(params, tf_vars)
         print(f"merged TF variables from {args.tf_vars}")
 
-    out = export_params(params, args.out)
+    if args.out.endswith(".npz"):
+        from ctpn_tpu.utils.weights import export_params_npz
+
+        out = export_params_npz(params, args.out)
+    else:
+        out = export_params(params, args.out)
     print(f"wrote inference artifact to {out}")
 
 

@@ -110,3 +110,28 @@ def test_export_load_round_trip(model_and_params, tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_npz_artifact_round_trip(tmp_path, rng):
+    """Half-precision single-file artifact: tree and values survive, and the
+    f16 quantization stays below bf16 compute resolution."""
+    import jax
+
+    from ctpn_tpu.models.ctpn import CTPN
+    from ctpn_tpu.utils.weights import export_params_npz, load_params
+
+    model = CTPN(trunk_stages=((1, 1, 8), (2, 1, 8), (3, 1, 8),
+                               (4, 1, 8), (5, 1, 8)),
+                 lstm_hidden=8, rpn_channels=16)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    out = export_params_npz(params, str(tmp_path / "artifact.npz"))
+    restored = load_params(out)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(restored))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert b.dtype == np.float32
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
