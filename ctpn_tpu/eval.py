@@ -45,6 +45,60 @@ def _iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-9)
 
 
+def merge_words_to_lines(
+    boxes: np.ndarray, max_gap: float = 50.0, min_v_overlap: float = 0.7
+) -> np.ndarray:
+    """Merge per-word ground-truth boxes into connector-reachable line
+    segments.
+
+    CTPN emits text LINES: the connector joins proposals whose horizontal
+    gap is <= ``TEXT.MAX_HORIZONTAL_GAP`` and whose vertical overlap ratio
+    is >= ``TEXT.MIN_V_OVERLAPS`` (reference
+    `lib/text_connector/text_proposal_graph_builder.py:36-61`). Word-level
+    ground truth (ICDAR-style) therefore cannot be matched 1:1 against line
+    detections; this merges words with the same rule the connector uses, so
+    the merged GT is exactly the set of line segments a perfect detector
+    could produce.
+
+    ``boxes``: (N, 4) x0,y0,x1,y1. Returns (M, 4) merged boxes, M <= N.
+    """
+    n = len(boxes)
+    if n == 0:
+        return np.zeros((0, 4))
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = boxes[i], boxes[j]
+            gap = max(a[0], b[0]) - min(a[2], b[2])  # <0 when overlapping
+            if gap > max_gap:
+                continue
+            ih = min(a[3], b[3]) - max(a[1], b[1])
+            hmin = min(a[3] - a[1], b[3] - b[1])
+            if hmin <= 0 or ih / hmin < min_v_overlap:
+                continue
+            parent[find(i)] = find(j)
+    groups: Dict[int, list] = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
+    merged = [
+        [
+            boxes[g, 0].min(),
+            boxes[g, 1].min(),
+            boxes[g, 2].max(),
+            boxes[g, 3].max(),
+        ]
+        for g in (np.asarray(idx) for idx in groups.values())
+    ]
+    return np.asarray(merged, dtype=np.float64)
+
+
 def match_boxes(cand: np.ndarray, ref: np.ndarray, iou_thresh: float = 0.5):
     """Greedy one-to-one matching by descending IoU. Returns matched count."""
     iou = _iou_xyxy(cand, ref)

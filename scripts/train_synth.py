@@ -108,19 +108,27 @@ def main():
             for box in recs:
                 xs, ys = box[0:8:2], box[1:8:2]
                 f.write(f"{int(min(xs))},{int(min(ys))},{int(max(xs))},{int(max(ys))}\r\n")
-    # ground truth as res-format for the comparator
+    # ground truth as res-format for the comparator. GT is PER WORD
+    # (ICDAR-style); the detector emits connector-merged LINES — merge the
+    # words with the connector's own grouping rule so the reference set is
+    # the lines a perfect detector could produce (ctpn_tpu.eval docstring).
+    import numpy as np
+
+    from ctpn_tpu.eval import compare_result_dirs, merge_words_to_lines
+
     for s in holdout:
-        with open(osp.join(gt_dir, f"gt_{s}.txt")) as f, open(
-            osp.join(ref_dir, f"res_{s}.txt"), "w"
-        ) as out:
+        words = []
+        with open(osp.join(gt_dir, f"gt_{s}.txt")) as f:
             for line in f:
                 v = line.strip().split(",")[:8]
                 if len(v) == 8:
                     xs = [float(v[i]) for i in (0, 2, 4, 6)]
                     ys = [float(v[i]) for i in (1, 3, 5, 7)]
-                    out.write(f"{int(min(xs))},{int(min(ys))},{int(max(xs))},{int(max(ys))}\r\n")
-
-    from ctpn_tpu.eval import compare_result_dirs
+                    words.append([min(xs), min(ys), max(xs), max(ys)])
+        lines_gt = merge_words_to_lines(np.asarray(words).reshape(-1, 4))
+        with open(osp.join(ref_dir, f"res_{s}.txt"), "w") as out:
+            for x0, y0, x1, y1 in lines_gt:
+                out.write(f"{int(x0)},{int(y0)},{int(x1)},{int(y1)}\r\n")
 
     score = compare_result_dirs(res_dir, ref_dir)
     score.pop("per_file")

@@ -1,0 +1,72 @@
+"""Device-vs-host postprocess parity on a REAL reference demo image with
+DETECTING weights.
+
+The on-device pipeline (proposal decode + Pallas NMS + connector inside one
+jit) and the host path (demo_pb.py-style: device stops at head tensors,
+NumPy oracles decode — `ctpn/demo_pb.py:73-98`) must produce the same boxes
+on real photographs, not just random-weight unit shapes. Weights: the
+committed synthetic-trained artifact (data/artifacts/ — this environment has
+no reference checkpoint; these weights detect real text, see
+docs/TRAINING.md and docs/demo_results/).
+"""
+
+import glob
+import os.path as osp
+
+import numpy as np
+import pytest
+
+ARTIFACT = osp.join(
+    osp.dirname(osp.dirname(osp.abspath(__file__))),
+    "data", "artifacts", "ctpn_synth_f16.npz",
+)
+REF_DEMO = "/root/reference/data/demo"
+DEMO_IMAGE = osp.join(REF_DEMO, "010.png")  # smallest: one 608x912 program
+
+pytestmark = pytest.mark.skipif(
+    not osp.exists(ARTIFACT),
+    reason="committed artifact missing",
+)
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    from ctpn_tpu.inference.pipeline import CTPNPredictor
+    from ctpn_tpu.utils.weights import load_params
+
+    return CTPNPredictor(load_params(ARTIFACT), mode="H")
+
+
+def _boxes(recs: np.ndarray) -> np.ndarray:
+    if len(recs) == 0:
+        return np.zeros((0, 4))
+    xs, ys = recs[:, 0:8:2], recs[:, 1:8:2]
+    return np.stack(
+        [xs.min(1), ys.min(1), xs.max(1), ys.max(1)], axis=1
+    )
+
+
+def _image():
+    if osp.exists(DEMO_IMAGE):
+        from ctpn_tpu.utils.image import load_image_bgr
+
+        return load_image_bgr(DEMO_IMAGE)
+    # reference tree absent (e.g. CI elsewhere): synthesize a text image
+    from ctpn_tpu.data.synth import render_image
+
+    rng = np.random.RandomState(7)
+    arr, _ = render_image(rng, width=720, height=600)
+    return arr[..., ::-1].copy()  # RGB -> BGR
+
+def test_device_and_host_paths_agree_on_real_image(predictor):
+    im = _image()
+    dev = predictor.detect_image(im)
+    host = predictor.detect_image_host(im)
+
+    assert len(dev) > 0, "trained weights must detect text on the demo image"
+    a, b = _boxes(np.asarray(dev)), _boxes(np.asarray(host))
+    assert len(a) == len(b), (len(a), len(b))
+    # identical proposals through both stacks: near-identical line boxes
+    order_a = np.lexsort((a[:, 0], a[:, 1]))
+    order_b = np.lexsort((b[:, 0], b[:, 1]))
+    np.testing.assert_allclose(a[order_a], b[order_b], atol=1.5)

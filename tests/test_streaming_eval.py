@@ -37,6 +37,34 @@ def test_compare_missing_candidate_file(tmp_path):
     assert out["matched"] == 0 and out["recall"] == 0.0
 
 
+def test_merge_words_to_lines():
+    words = np.array(
+        [
+            # one line of three words, gaps ~10 px
+            [10, 20, 60, 40],
+            [70, 21, 130, 40],
+            [140, 20, 200, 41],
+            # same row but a 120 px gap: a separate connector segment
+            [320, 20, 380, 40],
+            # different row, overlapping x-range
+            [10, 80, 200, 100],
+        ],
+        dtype=np.float64,
+    )
+    lines = ev.merge_words_to_lines(words, max_gap=50.0, min_v_overlap=0.7)
+    lines = lines[np.lexsort((lines[:, 0], lines[:, 1]))]
+    np.testing.assert_allclose(
+        lines,
+        [[10, 20, 200, 41], [320, 20, 380, 40], [10, 80, 200, 100]],
+    )
+    # empty input passes through
+    assert ev.merge_words_to_lines(np.zeros((0, 4))).shape == (0, 4)
+    # transitive merge: a chain a-b-c where a and c are far apart still
+    # forms ONE line (union-find, not pairwise output)
+    chain = np.array([[0, 0, 50, 20], [60, 0, 110, 20], [120, 0, 170, 20]])
+    assert len(ev.merge_words_to_lines(chain)) == 1
+
+
 def test_stream_detect_over_directory(tmp_path, rng, monkeypatch):
     import jax
     import jax.numpy as jnp
