@@ -81,7 +81,12 @@ def build_detect_fn(
             )
             if not with_lines:
                 return props, None
-            lines = detect_lines(props.rois, props.valid, info, **lines_kw)
+            # chains advance >= 1 column per edge: the bucket's 16-px column
+            # count bounds path length (fewer closure squarings)
+            lines = detect_lines(
+                props.rois, props.valid, info,
+                max_chain_len=prob.shape[1], **lines_kw,
+            )
             return props, lines
 
         return jax.vmap(per_image)(outs.cls_prob, outs.bbox_pred, im_info)

@@ -15,23 +15,26 @@ here the whole pipeline is fixed-shape XLA ops over the padded proposal set:
 3. **Mutual-best edges** — best successor by score (ties -> lowest index,
    matching ``np.argmax``), kept iff the source's score >= the best
    precursor score of the target (`text_proposal_graph_builder.py:34-38`).
-4. **Chain labeling** — each node has <= 1 successor and <= 1 predecessor, so
-   chains are found by pointer-doubling on the predecessor array
-   (log2(N) gathers) instead of the reference's sequential walk
-   (`other.py:16-29`).
-5. **Per-chain least squares** — the top/bottom/center line fits are
-   segment-sum reductions in the centered form (numerically stable in f32);
-   evaluation and record assembly are elementwise.
+4. **Chain membership** — the reference walks a chain from EVERY head node
+   (no in-edge, has out-edge) to the end of the successor path; when two
+   edges point into the same node the tail is walked twice and belongs to
+   BOTH lines (`other.py:16-29`). That duplication is load-bearing (it can
+   emit two overlapping lines) and no forest labeling can express it, so
+   membership is the successor-path reachability matrix R[s, j], computed by
+   log2(N) boolean squarings of (I + S) — MXU matmuls, not a serial walk.
+5. **Per-chain least squares** — chain sums are rows of ``R @ F`` (one
+   matmul for all statistics); x-coordinates are globally centered before
+   squaring so the covariance form stays accurate in f32; evaluation and
+   record assembly are elementwise.
 
 All stages are mask-carrying and jit/vmap-compatible.
 """
 
 from __future__ import annotations
 
-import functools
+import math
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 
@@ -97,52 +100,53 @@ def build_successors(
     return jnp.where(edge, best_j, -1)
 
 
-def chain_roots(succ: jnp.ndarray):
-    """Label chains: root (head) index per node via pointer doubling.
+def chain_reachability(succ: jnp.ndarray, max_len: int | None = None):
+    """Successor-path reachability: R[s, j] = 1 iff j is on the path
+    s -> succ[s] -> ... (inclusive of s).
 
-    Returns (root, member): ``member`` marks nodes on a chain with >= 1 edge;
-    ``root`` is the chain head's node index (valid where member).
+    The reference walks every head node to the end of its path and SHARES
+    tails between chains that merge (`other.py:16-29`, oracle
+    ``sub_graphs_np``); row s of R is exactly that walk's member set.
+    Transitive closure by repeated boolean squaring of (I + S): log2(N)
+    (N, N) matmuls on the MXU.
+
+    Returns (R float32 (N, N), is_start bool (N,)) where start nodes have an
+    out-edge and no in-edge — one emitted line per start row.
+
+    ``max_len`` (static) bounds the path length and hence the number of
+    squarings: every edge advances >= 1 proposal column, so the image's
+    16-px column count is a valid bound.
     """
     n = succ.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     has_out = succ >= 0
-    # predecessor: min index i with succ[i] == j (score ties in the builder
-    # can give a node two precursors; the reference then walks the node
-    # twice — we keep the lowest-index one)
-    pred = (
-        jnp.full((n + 1,), n, dtype=jnp.int32)
-        .at[jnp.where(has_out, succ, n)]
-        .min(idx)[:n]
-    )
-    has_in = pred < n
-    parent = jnp.where(has_in, pred, idx)
-    # pointer doubling: log2(n) rounds
-    import math
-
-    rounds = max(1, math.ceil(math.log2(max(n, 2))))
+    edge = (succ[:, None] == idx[None, :]) & has_out[:, None]
+    has_in = jnp.any(edge, axis=0)
+    m = (edge | (idx[:, None] == idx[None, :])).astype(jnp.float32)
+    bound = min(n, max_len) if max_len else n
+    rounds = max(1, math.ceil(math.log2(max(bound, 2))))
     for _ in range(rounds):
-        parent = parent[parent]
-    member = has_out | has_in
-    return parent, member
+        m = (
+            jnp.matmul(m, m, preferred_element_type=jnp.float32) > 0.0
+        ).astype(jnp.float32)
+    return m, has_out & ~has_in
 
 
-def _segment_fit(x, y, seg, n, count, mean_x, head_y):
-    """Least-squares line per segment, centered form; degenerate -> head_y.
+def _fit(r, cnt, xc, y):
+    """Per-chain least squares of y against globally-centered x.
 
-    Returns (slope, intercept, degenerate_mask) arrays of shape (n,).
+    ``r``: (N, N) membership rows; ``xc``/``y``: (N,) node values. Returns
+    (slope, mean_x, mean_y, degenerate) per row; evaluate with
+    ``my + slope * (x_eval_c - mx)``. Degenerate = all member x equal
+    (the reference then takes the head's y — caller substitutes).
     """
-    sum_y = jax.ops.segment_sum(y, seg, num_segments=n + 1)[:n]
-    mean_y = sum_y / jnp.maximum(count, 1)
-    mx = mean_x[jnp.clip(seg, 0, n - 1)]
-    my = mean_y[jnp.clip(seg, 0, n - 1)]
-    cx = jnp.where(seg < n, x - mx, 0.0)
-    cy = jnp.where(seg < n, y - my, 0.0)
-    sxx = jax.ops.segment_sum(cx * cx, seg, num_segments=n + 1)[:n]
-    sxy = jax.ops.segment_sum(cx * cy, seg, num_segments=n + 1)[:n]
+    mx = (r @ xc) / cnt
+    my = (r @ y) / cnt
+    sxx = r @ (xc * xc) - cnt * mx * mx
+    sxy = r @ (xc * y) - cnt * mx * my
     degenerate = sxx <= 1e-6
     slope = jnp.where(degenerate, 0.0, sxy / jnp.where(degenerate, 1.0, sxx))
-    intercept = jnp.where(degenerate, head_y, mean_y - slope * mean_x)
-    return slope, intercept, degenerate
+    return slope, mx, my, degenerate
 
 
 def connect_text_lines(
@@ -158,6 +162,7 @@ def connect_text_lines(
     min_ratio: float = 0.5,
     line_min_score: float = 0.9,
     min_width: float = 32.0,
+    max_chain_len: int | None = None,
 ) -> TextLines:
     """Group proposals into text lines and emit 9-float records.
 
@@ -169,35 +174,34 @@ def connect_text_lines(
     succ = build_successors(
         boxes, scores, valid, max_gap, min_v_overlaps, min_size_sim
     )
-    root, member = chain_roots(succ)
-    seg = jnp.where(member, root, n).astype(jnp.int32)  # n = drop bucket
+    r, is_start = chain_reachability(succ, max_chain_len)
 
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    ssum = functools.partial(jax.ops.segment_sum, num_segments=n + 1)
-    count = ssum(jnp.ones_like(x1), seg)[:n]
-    cnt = jnp.maximum(count, 1.0)
-    sum_x1 = ssum(x1, seg)[:n]
-    mean_x1 = sum_x1 / cnt
-    min_x1 = jax.ops.segment_min(jnp.where(member, x1, jnp.inf), seg, num_segments=n + 1)[:n]
-    max_x2 = jax.ops.segment_max(jnp.where(member, x2, -jnp.inf), seg, num_segments=n + 1)[:n]
-    mean_score = ssum(scores, seg)[:n] / cnt
+    im_h, im_w = im_info[0], im_info[1]
+    cnt = jnp.maximum(r.sum(axis=1), 1.0)
+    # globally center x before squaring: keeps the covariance form accurate
+    # in f32 (coordinates up to MAX_SCALE, squares up to ~1.4e6)
+    xbar = im_w * 0.5
+    x1c = x1 - xbar
+    member = r > 0.0
+    min_x1 = jnp.min(jnp.where(member, x1[None, :], jnp.inf), axis=1)
+    max_x2 = jnp.max(jnp.where(member, x2[None, :], -jnp.inf), axis=1)
+    mean_score = (r @ scores) / cnt
 
-    # head (= root node, the first element of the reference's chain list)
+    # head = row node itself (the first element of the reference's chain)
     head_y1 = y1
     head_y2 = y2
-    offset = (x2 - x1) * 0.5  # per-root: head proposal half width
+    offset = (x2 - x1) * 0.5  # head proposal half width
 
-    slope_t, int_t, _ = _segment_fit(x1, y1, seg, n, count, mean_x1, head_y1)
-    slope_b, int_b, _ = _segment_fit(x1, y2, seg, n, count, mean_x1, head_y2)
+    slope_t, mx_t, my_t, deg_t = _fit(r, cnt, x1c, y1)
+    slope_b, mx_b, my_b, deg_b = _fit(r, cnt, x1c, y2)
 
-    x_left = min_x1 + offset
-    x_right = max_x2 - offset
-    lt_y = slope_t * x_left + int_t
-    rt_y = slope_t * x_right + int_t
-    lb_y = slope_b * x_left + int_b
-    rb_y = slope_b * x_right + int_b
-
-    im_h, im_w = im_info[0], im_info[1]
+    x_left_c = min_x1 + offset - xbar
+    x_right_c = max_x2 - offset - xbar
+    lt_y = jnp.where(deg_t, head_y1, my_t + slope_t * (x_left_c - mx_t))
+    rt_y = jnp.where(deg_t, head_y1, my_t + slope_t * (x_right_c - mx_t))
+    lb_y = jnp.where(deg_b, head_y2, my_b + slope_b * (x_left_c - mx_b))
+    rb_y = jnp.where(deg_b, head_y2, my_b + slope_b * (x_right_c - mx_b))
 
     if mode == "H":
         lx0 = min_x1
@@ -215,16 +219,16 @@ def connect_text_lines(
     elif mode == "O":
         cx = (x1 + x2) * 0.5
         cy = (y1 + y2) * 0.5
-        mean_cx = ssum(cx, seg)[:n] / cnt
-        slope_c, int_c, _ = _segment_fit(cx, cy, seg, n, count, mean_cx, cy)
-        height = ssum(y2 - y1, seg)[:n] / cnt + 2.5
-        k, b = slope_c, int_c
-        b1 = b - height / 2
-        b2 = b + height / 2
-        xa, ya = min_x1, k * min_x1 + b1
-        xb, yb = max_x2, k * max_x2 + b1
-        xc, yc = min_x1, k * min_x1 + b2
-        xd, yd = max_x2, k * max_x2 + b2
+        k, mx_c, my_c, deg_c = _fit(r, cnt, cx - xbar, cy)
+        height = (r @ (y2 - y1)) / cnt + 2.5
+
+        def center_y(x):
+            return jnp.where(deg_c, cy, my_c + k * (x - xbar - mx_c))
+
+        xa, ya = min_x1, center_y(min_x1) - height / 2
+        xb, yb = max_x2, center_y(max_x2) - height / 2
+        xc, yc = min_x1, center_y(min_x1) + height / 2
+        xd, yd = max_x2, center_y(max_x2) + height / 2
         dis_x = xb - xa
         dis_y = yb - ya
         width = jnp.sqrt(dis_x * dis_x + dis_y * dis_y)
@@ -248,7 +252,7 @@ def connect_text_lines(
 
     # a line exists at each chain head
     idx = jnp.arange(n, dtype=jnp.int32)
-    is_head = member & (root == idx)
+    is_head = is_start
 
     # final filter (reference detectors.py:37-49)
     heights_f = (

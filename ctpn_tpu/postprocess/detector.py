@@ -36,6 +36,7 @@ def detect_lines(
     line_min_score: float = 0.9,
     min_width: float = 32.0,
     use_pallas: Optional[bool] = None,
+    max_chain_len: Optional[int] = None,
 ) -> TextLines:
     """One image: (P, 5) [score, x1, y1, x2, y2] score-sorted rois -> lines.
 
@@ -59,6 +60,7 @@ def detect_lines(
         min_ratio=min_ratio,
         line_min_score=line_min_score,
         min_width=min_width,
+        max_chain_len=max_chain_len,
     )
 
 

@@ -7,7 +7,7 @@ import pytest
 from ctpn_tpu.postprocess import oracle as O
 from ctpn_tpu.postprocess.connector import (
     build_successors,
-    chain_roots,
+    chain_reachability,
     connect_text_lines,
 )
 from ctpn_tpu.postprocess.detector import detect_lines
@@ -63,14 +63,24 @@ class TestGraph:
                 got[i, succ[i]] = True
         np.testing.assert_array_equal(got, want)
 
-    def test_chain_roots_walk(self):
+    def test_chain_reachability_walk(self):
         # chain 3 -> 0 -> 5, chain 1 -> 4, isolated 2
         succ = np.array([5, 4, -1, 0, -1, -1], np.int32)
-        root, member = chain_roots(jnp.asarray(succ))
-        root, member = np.asarray(root), np.asarray(member)
-        assert member.tolist() == [True, True, False, True, True, True]
-        assert root[3] == root[0] == root[5] == 3
-        assert root[1] == root[4] == 1
+        r, is_start = chain_reachability(jnp.asarray(succ))
+        r, is_start = np.asarray(r).astype(bool), np.asarray(is_start)
+        assert is_start.tolist() == [False, True, False, True, False, False]
+        assert set(np.flatnonzero(r[3])) == {3, 0, 5}
+        assert set(np.flatnonzero(r[1])) == {1, 4}
+
+    def test_chain_reachability_shares_merged_tails(self):
+        # two heads converging on one node: the reference walks the tail
+        # TWICE (oracle sub_graphs_np) — both lines must contain it
+        succ = np.array([2, 2, 3, -1], np.int32)
+        r, is_start = chain_reachability(jnp.asarray(succ))
+        r, is_start = np.asarray(r).astype(bool), np.asarray(is_start)
+        assert is_start.tolist() == [True, True, False, False]
+        assert set(np.flatnonzero(r[0])) == {0, 2, 3}
+        assert set(np.flatnonzero(r[1])) == {1, 2, 3}
 
 
 class TestLines:
