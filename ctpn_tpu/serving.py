@@ -1,0 +1,261 @@
+"""HTTP detection service with TPU micro-batching.
+
+The reference has no serving story — its demo loops over files one at a
+time with host postprocessing (`ctpn/demo.py:55-68`). On TPU the unit of
+throughput is the batch (the MXU is idle at batch 1), so the server
+coalesces concurrent requests into bucket-keyed micro-batches:
+
+* requests decode/resize/pad on the handler thread (cheap, parallel under
+  the ThreadingHTTPServer);
+* a single dispatcher thread gathers pending items for the SAME bucket
+  within a short window, pads the batch to a fixed size, and runs the
+  one compiled program per bucket (fixed shapes -> no recompiles, ever);
+* responses carry line records mapped back to original image coordinates.
+
+Endpoints:
+  POST /detect        body = image bytes (JPEG/PNG);
+                      optional ?mode=H|O is fixed per-server (400 if it
+                      disagrees with the server's compiled mode)
+  GET  /healthz       liveness + backend + compiled buckets
+
+Protocol (JSON response):
+  {"boxes": [[x0,y0,x1,y1,x2,y2,x3,y3,score], ...], "count": N,
+   "mode": "H", "image_shape": [h, w]}
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue as queue_mod
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ctpn_tpu.config import cfg
+from ctpn_tpu.inference.pipeline import CTPNPredictor
+from ctpn_tpu.utils.image import prep_image, resize_im, rgb_to_bgr
+
+
+class _Pending:
+    __slots__ = ("image", "info", "f1", "orig_shape", "event", "result", "error")
+
+    def __init__(self, image, info, f1, orig_shape):
+        self.image = image
+        self.info = info
+        self.f1 = f1
+        self.orig_shape = orig_shape
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[Exception] = None
+
+
+class MicroBatcher(threading.Thread):
+    """Gathers same-bucket requests into fixed-size padded batches.
+
+    Padding to ``max_batch`` keeps ONE program per bucket: XLA never sees a
+    new batch dimension, so steady-state latency has no compile cliffs.
+    """
+
+    def __init__(self, predictor: CTPNPredictor, max_batch: int = 8,
+                 window_ms: float = 5.0):
+        super().__init__(daemon=True)
+        self.predictor = predictor
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1e3
+        self.queue: "queue_mod.Queue[_Pending]" = queue_mod.Queue()
+        self._stop = threading.Event()
+        self.batches_run = 0
+        self.images_run = 0
+
+    def submit(self, item: _Pending) -> None:
+        self.queue.put(item)
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.queue.put(None)  # unblock
+
+    def _gather(self) -> List[_Pending]:
+        first = self.queue.get()
+        if first is None:
+            return []
+        batch = [first]
+        bucket = first.image.shape[:2]
+        deadline = time.monotonic() + self.window_s
+        leftover = []
+        while len(batch) < self.max_batch:
+            budget = deadline - time.monotonic()
+            if budget <= 0:
+                break
+            try:
+                item = self.queue.get(timeout=budget)
+            except queue_mod.Empty:
+                break
+            if item is None:
+                break
+            if item.image.shape[:2] == bucket:
+                batch.append(item)
+            else:
+                leftover.append(item)  # different bucket: next round
+        for item in leftover:
+            self.queue.put(item)
+        return batch
+
+    def run(self) -> None:  # pragma: no cover - exercised via the server
+        while not self._stop.is_set():
+            batch = self._gather()
+            if not batch:
+                continue
+            self._dispatch(batch)
+
+    def _dispatch(self, batch: List[_Pending]) -> None:
+        n = len(batch)
+        try:
+            images = np.stack(
+                [it.image for it in batch]
+                + [batch[0].image] * (self.max_batch - n)
+            )
+            infos = np.stack(
+                [it.info for it in batch]
+                + [batch[0].info] * (self.max_batch - n)
+            )
+            _, lines = self.predictor.run_batch(images, infos)
+            counts = np.asarray(lines.count)
+            recs_all = np.asarray(lines.recs)
+            self.batches_run += 1
+            self.images_run += n
+            for b, it in enumerate(batch):
+                recs = recs_all[b, : int(counts[b])].astype(np.float64)
+                total_scale = it.f1 * float(it.info[2])
+                if len(recs):
+                    recs[:, :8] /= total_scale
+                it.result = recs
+                it.event.set()
+        except Exception as e:  # pragma: no cover - defensive
+            for it in batch:
+                it.error = e
+                it.event.set()
+
+
+def _decode_image(body: bytes) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(io.BytesIO(body)) as im:
+        return rgb_to_bgr(np.asarray(im.convert("RGB")))
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server: "DetectionServer"
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if self.server.verbose:  # pragma: no cover
+            super().log_message(fmt, *args)
+
+    def _json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path.split("?")[0] != "/healthz":
+            return self._json(404, {"error": "not found"})
+        srv = self.server
+        self._json(200, {
+            "status": "ok",
+            "mode": srv.mode,
+            "max_batch": srv.batcher.max_batch,
+            "batches_run": srv.batcher.batches_run,
+            "images_run": srv.batcher.images_run,
+            "buckets_compiled": [list(k) for k in srv.predictor._fns],
+        })
+
+    def do_POST(self):
+        path, _, query = self.path.partition("?")
+        if path != "/detect":
+            return self._json(404, {"error": "not found"})
+        want_mode = None
+        for kv in query.split("&"):
+            if kv.startswith("mode="):
+                want_mode = kv[5:].upper()
+        if want_mode and want_mode != self.server.mode:
+            return self._json(400, {
+                "error": f"server runs mode={self.server.mode}",
+            })
+        length = int(self.headers.get("Content-Length", 0))
+        if length <= 0:
+            return self._json(400, {"error": "empty body"})
+        body = self.rfile.read(length)
+        try:
+            im = _decode_image(body)
+        except Exception:
+            return self._json(400, {"error": "undecodable image"})
+        resized, f1 = resize_im(im, cfg.TEXT.SCALE, cfg.TEXT.MAX_SCALE)
+        data, info = prep_image(resized)
+        item = _Pending(data, info, f1, im.shape[:2])
+        self.server.batcher.submit(item)
+        if not item.event.wait(timeout=self.server.request_timeout_s):
+            return self._json(504, {"error": "detection timed out"})
+        if item.error is not None:
+            return self._json(500, {"error": str(item.error)})
+        self._json(200, {
+            "boxes": [[round(v, 2) for v in rec] for rec in item.result],
+            "count": len(item.result),
+            "mode": self.server.mode,
+            "image_shape": list(item.orig_shape),
+        })
+
+
+class DetectionServer(ThreadingHTTPServer):
+    """Threaded HTTP server wrapping a CTPNPredictor + MicroBatcher."""
+
+    daemon_threads = True
+
+    def __init__(self, predictor: CTPNPredictor, host: str = "127.0.0.1",
+                 port: int = 0, max_batch: int = 8, window_ms: float = 5.0,
+                 request_timeout_s: float = 120.0, verbose: bool = False):
+        super().__init__((host, port), _Handler)
+        self.predictor = predictor
+        self.mode = predictor.mode
+        self.request_timeout_s = request_timeout_s
+        self.verbose = verbose
+        self.batcher = MicroBatcher(predictor, max_batch, window_ms)
+        self.batcher.start()
+
+    def shutdown(self):
+        self.batcher.stop()
+        super().shutdown()
+
+
+def serve(artifact: str, host: str = "0.0.0.0", port: int = 8000,
+          mode: Optional[str] = None, max_batch: int = 8,
+          window_ms: float = 5.0, warmup_buckets: bool = True,
+          verbose: bool = True) -> None:  # pragma: no cover - CLI loop
+    """Build predictor, optionally pre-compile every config bucket, serve."""
+    from ctpn_tpu.utils.weights import load_params
+
+    predictor = CTPNPredictor(load_params(artifact), mode=mode)
+    server = DetectionServer(
+        predictor, host, port, max_batch, window_ms, verbose=verbose,
+    )
+    if warmup_buckets:
+        for bh, bw in cfg.TPU.BUCKETS:
+            if verbose:
+                print(f"warming bucket ({bh}, {bw}) at batch {max_batch}...",
+                      flush=True)
+            predictor.warmup((bh, bw), batch=max_batch)
+    if verbose:
+        h, p = server.server_address
+        print(f"ctpn-serve: listening on {h}:{p} "
+              f"(mode={server.mode}, max_batch={max_batch})", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
