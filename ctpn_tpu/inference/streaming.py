@@ -78,8 +78,15 @@ def stream_detect(
     inflight: List[Tuple[List[_Prepped], object]] = []
 
     def flush(items: List[_Prepped]):
-        images = np.stack([it.image for it in items])
-        infos = np.stack([it.info for it in items])
+        # pad partial batches to the fixed batch size: a fresh batch
+        # dimension would otherwise compile a NEW program per leftover size
+        # (minutes on TPU) — padded rows cost one repeated H2D row each and
+        # their outputs are dropped below
+        pad = batch_size - len(items)
+        images = np.stack(
+            [it.image for it in items] + [items[0].image] * pad
+        )
+        infos = np.stack([it.info for it in items] + [items[0].info] * pad)
         out = predictor.run_batch(images, infos)  # async dispatch
         inflight.append((items, out))
 

@@ -84,8 +84,24 @@ def main():
 
     predictor = CTPNPredictor(params)
 
-    # warm both bucket programs outside the timed region
-    warm = paths[: 2 * args.batch]
+    # warm EVERY bucket program (and its lazy first-fetch transfer path)
+    # outside the timed region: stratify the warm set by bucket so a
+    # corpus that leads with one orientation doesn't leave the other
+    # bucket compiling inside the timed loop
+    from PIL import Image
+
+    from ctpn_tpu.config import cfg as _cfg
+    from ctpn_tpu.utils.image import pick_bucket, resize_factor
+
+    by_bucket = {}
+    for p_ in paths:
+        with Image.open(p_) as im_:
+            w, h = im_.size
+        f_ = resize_factor(h, w, _cfg.TEXT.SCALE, _cfg.TEXT.MAX_SCALE)
+        by_bucket.setdefault(
+            pick_bucket(int(round(h * f_)), int(round(w * f_))), []
+        ).append(p_)
+    warm = sum((ps[: args.batch] for ps in by_bucket.values()), [])
     for _ in stream_detect(warm, predictor, batch_size=args.batch,
                            workers=args.workers):
         pass
@@ -120,7 +136,13 @@ def main():
         from ctpn_tpu.utils.image import load_image_bgr
 
         ims = [load_image_bgr(p) for p in paths[:16]]
-        predictor.detect_image(ims[0])  # warm batch-1 program
+        # warm the batch-1 program of every bucket represented in the set
+        seen = set()
+        for im in ims:
+            key = im.shape[:2]
+            if key not in seen:
+                seen.add(key)
+                predictor.detect_image(im)
         lats = []
         for im in ims:
             t = time.perf_counter()
