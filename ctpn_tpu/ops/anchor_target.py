@@ -70,6 +70,7 @@ def _sample_to_cap(rng, eligible: jnp.ndarray, cap) -> jnp.ndarray:
         "inside_weights",
         "clobber_positives",
         "preclude_hard",
+        "ohem",
     ),
 )
 def anchor_target_layer(
@@ -90,6 +91,7 @@ def anchor_target_layer(
     inside_weights=(0.0, 1.0, 0.0, 1.0),
     clobber_positives: bool = False,
     preclude_hard: bool = True,
+    ohem: bool = False,
 ) -> AnchorTargets:
     anchors = jnp.asarray(shifted_anchors(feat_h, feat_w))  # (K, 4)
     k = anchors.shape[0]
@@ -159,10 +161,17 @@ def anchor_target_layer(
     labels = jnp.where(fg & ~fg_kept, -1, labels)
 
     num_fg = jnp.sum(fg_kept.astype(jnp.int32))
-    num_bg_cap = rpn_batchsize - num_fg
-    bg = labels == 0
-    bg_kept = _sample_to_cap(rng_bg, bg, num_bg_cap)
-    labels = jnp.where(bg & ~bg_kept, -1, labels)
+    if not ohem:
+        num_bg_cap = rpn_batchsize - num_fg
+        bg = labels == 0
+        bg_kept = _sample_to_cap(rng_bg, bg, num_bg_cap)
+        labels = jnp.where(bg & ~bg_kept, -1, labels)
+    # else: online hard example mining — every negative stays labeled 0 and
+    # the LOSS selects the (rpn_batchsize - num_fg) hardest by their current
+    # cross-entropy (training/loss.py::ctpn_loss ohem_batchsize). The
+    # reference accepts build_loss(ohem=...) but never implements it
+    # (`lib/networks/network.py:376`, `TRAIN.OHEM` in text.yml) — this makes
+    # the flag real, replacing random bg subsampling with hardest-first.
 
     # regression targets for every inside anchor vs its argmax gt
     matched_gt = gt_boxes[argmax_gt]

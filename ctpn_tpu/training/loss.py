@@ -44,8 +44,17 @@ def ctpn_loss(
     bbox_pred: jnp.ndarray,  # (N, H, W, A*4)
     targets: AnchorTargets,  # batched (N, H, W, ...)
     sigma2: float = 9.0,
+    ohem_batchsize: int | None = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Per-batch model loss (cls + box), averaged over images."""
+    """Per-batch model loss (cls + box), averaged over images.
+
+    ``ohem_batchsize`` (static): online hard example mining — the anchor
+    target layer left ALL negatives labeled 0 (`ops/anchor_target.py`,
+    ohem=True) and the (ohem_batchsize - num_fg) highest-loss negatives are
+    selected here, replacing the reference's random subsample. The
+    reference's ``build_loss(ohem=...)`` accepts but ignores the flag
+    (`lib/networks/network.py:376`).
+    """
 
     def per_image(score, pred, labels, tgt, biw, bow):
         logits = score.reshape(-1, 2)
@@ -54,6 +63,16 @@ def ctpn_loss(
         lbl_safe = jnp.maximum(lbl, 0)
         logp = jax.nn.log_softmax(logits, axis=-1)
         ce = -jnp.take_along_axis(logp, lbl_safe[:, None], axis=1)[:, 0]
+        if ohem_batchsize is not None:
+            is_fg = lbl == 1
+            n_fg_sel = jnp.sum(is_fg.astype(jnp.int32))
+            # rank negatives by descending loss (argsort of argsort);
+            # keep the (batchsize - num_fg) hardest
+            neg_ce = jnp.where(lbl == 0, ce, -jnp.inf)
+            order = jnp.argsort(-neg_ce)
+            rank = jnp.argsort(order)
+            hard_bg = (lbl == 0) & (rank < ohem_batchsize - n_fg_sel)
+            keep = is_fg | hard_bg
         n_keep = jnp.maximum(jnp.sum(keep.astype(jnp.float32)), 1.0)
         cls_loss = jnp.sum(jnp.where(keep, ce, 0.0)) / n_keep
 

@@ -102,7 +102,9 @@ def build_train_step(model: CTPN, feat_h: int, feat_w: int):
         inside_weights=tuple(cfg.TRAIN.RPN_BBOX_INSIDE_WEIGHTS),
         clobber_positives=cfg.TRAIN.RPN_CLOBBER_POSITIVES,
         preclude_hard=cfg.TRAIN.PRECLUDE_HARD_SAMPLES,
+        ohem=bool(cfg.TRAIN.OHEM),
     )
+    ohem_bs = int(cfg.TRAIN.RPN_BATCHSIZE) if cfg.TRAIN.OHEM else None
     means = jnp.asarray(cfg.PIXEL_MEANS, dtype=jnp.float32)
 
     def step(state: TrainState, batch: Batch):
@@ -128,7 +130,10 @@ def build_train_step(model: CTPN, feat_h: int, feat_w: int):
             # images arrive uint8 (wire format); normalize on device
             x = batch.images.astype(jnp.float32) - means
             outs = apply({"params": params}, x)
-            model_loss, aux = ctpn_loss(outs.cls_score, outs.bbox_pred, targets)
+            model_loss, aux = ctpn_loss(
+                outs.cls_score, outs.bbox_pred, targets,
+                ohem_batchsize=ohem_bs,
+            )
             reg = weight_decay_loss(params, wd)
             total = model_loss + reg
             aux["total_loss"] = total

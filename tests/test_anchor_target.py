@@ -110,6 +110,25 @@ def test_subsampling_counts_and_subsets(rng):
     assert np.all(want_labels[labels == 0] == 0)
 
 
+def test_ohem_keeps_all_negatives(rng):
+    fh, fw = 10, 14
+    n_gt = 6
+    inputs = _make_inputs(rng, fh, fw, n_gt)
+    plain = _run_device(jax.random.PRNGKey(3), inputs, fh, fw,
+                        rpn_batchsize=300, fg_fraction=0.5)
+    ohem = _run_device(jax.random.PRNGKey(3), inputs, fh, fw,
+                       rpn_batchsize=300, fg_fraction=0.5, ohem=True)
+    eligible = _run_device(jax.random.PRNGKey(3), inputs, fh, fw,
+                           rpn_batchsize=10 ** 6, fg_fraction=1.0)
+    lp = np.asarray(plain.labels).reshape(-1)
+    lo = np.asarray(ohem.labels).reshape(-1)
+    le = np.asarray(eligible.labels).reshape(-1)
+    # every eligible negative stays labeled 0 for the loss-side selection
+    assert (lo == 0).sum() == (le == 0).sum() > (lp == 0).sum()
+    # fg sampling unchanged by ohem (same key -> same fg set)
+    np.testing.assert_array_equal(lo == 1, lp == 1)
+
+
 def test_sampling_is_deterministic_per_key(rng):
     fh, fw = 8, 10
     inputs = _make_inputs(rng, fh, fw, 8)

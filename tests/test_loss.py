@@ -34,6 +34,35 @@ def test_cls_loss_hand_computed():
     assert float(aux["rpn_box_loss"]) == pytest.approx(0.0, abs=1e-7)
 
 
+def test_ohem_selects_hardest_negatives():
+    # 1x1x2 grid, A=2 -> 4 anchors: 1 fg + 3 bg with distinct difficulties
+    # bg CE grows with the fg-logit margin; hardest = most fg-confident
+    logits = np.array(
+        [[[[0.0, 5.0, 3.0, 0.0], [1.0, 0.0, 9.0, 0.0]]]], np.float32
+    )  # rows: fg [0,5]; bg [3,0] medium; bg [1,0] hardest; bg [9,0] easiest
+    labels = np.array([[[[1, 0], [0, 0]]]], np.int32)
+    zeros = np.zeros((1, 1, 2, 8), np.float32)
+    t = _targets(labels, zeros, zeros, zeros)
+    pred = np.zeros((1, 1, 2, 8), np.float32)
+
+    def ce_bg(l0, l1):
+        # bg CE: low when the bg logit l0 dominates
+        return -np.log(np.exp(l0) / (np.exp(l0) + np.exp(l1)))
+
+    # ohem_batchsize=3 -> 1 fg + the 2 hardest bg ([1,0] then [3,0]);
+    # the easy [9,0] row is excluded
+    loss, aux = ctpn_loss(
+        jnp.asarray(logits), jnp.asarray(pred), t, ohem_batchsize=3
+    )
+    ce_fg = -np.log(np.exp(5) / (np.exp(0) + np.exp(5)))
+    want = (ce_fg + ce_bg(1, 0) + ce_bg(3, 0)) / 3.0
+    assert float(aux["rpn_cls_loss"]) == pytest.approx(want, rel=1e-5)
+    # without ohem every labeled anchor counts
+    loss2, aux2 = ctpn_loss(jnp.asarray(logits), jnp.asarray(pred), t)
+    want_all = (ce_fg + ce_bg(3, 0) + ce_bg(1, 0) + ce_bg(9, 0)) / 4.0
+    assert float(aux2["rpn_cls_loss"]) == pytest.approx(want_all, rel=1e-5)
+
+
 def test_box_loss_hand_computed():
     labels = np.array([[[[1, 0]]]], np.int32)  # anchor0 fg, anchor1 bg
     logits = np.zeros((1, 1, 1, 4), np.float32)

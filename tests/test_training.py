@@ -94,6 +94,21 @@ def test_loss_decreases_on_toy_data(rng):
     assert losses[-1] < losses[0] * 0.9, losses
 
 
+def test_ohem_step_trains(rng, monkeypatch):
+    monkeypatch.setattr(cfg.TRAIN, "OHEM", True)
+    monkeypatch.setattr(cfg.TRAIN, "LEARNING_RATE", 3e-3)
+    model = CTPN(dtype=jnp.float32, **TINY)
+    state = create_train_state(jax.random.PRNGKey(0), model, (1, BH, BW, 3))
+    step = jax.jit(build_train_step(model, FH, FW))
+    batch = _toy_batch(rng, 2)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["model_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
 def test_dp_step_matches_single_device(rng):
     n_dev = min(4, jax.device_count())
     assert n_dev >= 2, "conftest should provide 8 cpu devices"
