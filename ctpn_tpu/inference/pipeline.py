@@ -28,6 +28,17 @@ from ctpn_tpu.postprocess.detector import detect_lines
 from ctpn_tpu.utils.image import load_image_bgr, prep_image, resize_im
 
 
+def unscale_records(recs: np.ndarray, count: int, f1: float, info) -> np.ndarray:
+    """Trim padded line records and map boxes back to ORIGINAL image coords
+    (the demo's double-resize contract, `demo.py:47-51`). Shared by the
+    single-image, streaming, and serving paths."""
+    out = np.asarray(recs)[:count].astype(np.float64)
+    total_scale = f1 * float(info[2])
+    if len(out):
+        out[:, :8] /= total_scale
+    return out
+
+
 def forward_features(model: CTPN, params, images: jnp.ndarray):
     """Mean-subtract (fused on device) + model forward.
 
@@ -127,6 +138,18 @@ class CTPNPredictor:
         fn = self._fn_for(images.shape[1:3])
         return fn(self.params, jnp.asarray(images), jnp.asarray(im_info))
 
+    def run_padded(self, images, infos, batch_size: int):
+        """Run a possibly-partial batch padded to ``batch_size``.
+
+        Padding keeps ONE program per bucket — a fresh batch dimension would
+        compile a new XLA program (minutes on TPU). Callers slice outputs by
+        the true item count (padded rows are garbage).
+        """
+        pad = batch_size - len(images)
+        stacked = np.stack(list(images) + [images[0]] * pad)
+        stacked_i = np.stack(list(infos) + [infos[0]] * pad)
+        return self.run_batch(stacked, stacked_i)
+
     def detect_image(self, im_bgr: np.ndarray) -> np.ndarray:
         """One uint8 BGR image -> (M, 9) line records in ORIGINAL image coords.
 
@@ -137,11 +160,9 @@ class CTPNPredictor:
         resized, f1 = resize_im(im_bgr, cfg.TEXT.SCALE, cfg.TEXT.MAX_SCALE)
         data, info = prep_image(resized)
         props, lines = self.run_batch(data[None], info[None])
-        count = int(lines.count[0])
-        recs = np.asarray(lines.recs[0])[:count].astype(np.float64)
-        total_scale = f1 * float(info[2])
-        recs[:, :8] /= total_scale
-        return recs
+        return unscale_records(
+            np.asarray(lines.recs[0]), int(lines.count[0]), f1, info
+        )
 
     def detect_path(self, path: str) -> np.ndarray:
         return self.detect_image(load_image_bgr(path))

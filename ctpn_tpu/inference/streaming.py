@@ -24,7 +24,7 @@ from typing import Dict, Iterable, Iterator, List, Tuple
 import numpy as np
 
 from ctpn_tpu.config import cfg
-from ctpn_tpu.inference.pipeline import CTPNPredictor
+from ctpn_tpu.inference.pipeline import CTPNPredictor, unscale_records
 from ctpn_tpu.utils.image import load_image_bgr, resize_im
 
 
@@ -78,16 +78,9 @@ def stream_detect(
     inflight: List[Tuple[List[_Prepped], object]] = []
 
     def flush(items: List[_Prepped]):
-        # pad partial batches to the fixed batch size: a fresh batch
-        # dimension would otherwise compile a NEW program per leftover size
-        # (minutes on TPU) — padded rows cost one repeated H2D row each and
-        # their outputs are dropped below
-        pad = batch_size - len(items)
-        images = np.stack(
-            [it.image for it in items] + [items[0].image] * pad
+        out = predictor.run_padded(  # async dispatch; partial batches padded
+            [it.image for it in items], [it.info for it in items], batch_size
         )
-        infos = np.stack([it.info for it in items] + [items[0].info] * pad)
-        out = predictor.run_batch(images, infos)  # async dispatch
         inflight.append((items, out))
 
     def drain():
@@ -95,10 +88,9 @@ def stream_detect(
         counts = np.asarray(lines.count)
         recs_all = np.asarray(lines.recs)
         for b, it in enumerate(items):
-            recs = recs_all[b, : int(counts[b])].astype(np.float64)
-            total_scale = it.f1 * float(it.info[2])
-            recs[:, :8] /= total_scale
-            yield it.path, recs
+            yield it.path, unscale_records(
+                recs_all[b], int(counts[b]), it.f1, it.info
+            )
 
     try:
         while done_workers < workers or any(buckets.values()):

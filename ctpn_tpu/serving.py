@@ -41,13 +41,15 @@ from ctpn_tpu.utils.image import prep_image, resize_im, rgb_to_bgr
 
 
 class _Pending:
-    __slots__ = ("image", "info", "f1", "orig_shape", "event", "result", "error")
+    __slots__ = ("image", "info", "f1", "orig_shape", "deadline", "event",
+                 "result", "error")
 
-    def __init__(self, image, info, f1, orig_shape):
+    def __init__(self, image, info, f1, orig_shape, deadline=float("inf")):
         self.image = image
         self.info = info
         self.f1 = f1
         self.orig_shape = orig_shape
+        self.deadline = deadline  # monotonic time; expired items are shed
         self.event = threading.Event()
         self.result: Optional[np.ndarray] = None
         self.error: Optional[Exception] = None
@@ -67,9 +69,11 @@ class MicroBatcher(threading.Thread):
         self.max_batch = max_batch
         self.window_s = window_ms / 1e3
         self.queue: "queue_mod.Queue[_Pending]" = queue_mod.Queue()
+        self._leftover: List[_Pending] = []  # other-bucket items, next round
         self._stop = threading.Event()
         self.batches_run = 0
         self.images_run = 0
+        self.shed = 0  # expired-before-dispatch requests
 
     def submit(self, item: _Pending) -> None:
         self.queue.put(item)
@@ -79,13 +83,25 @@ class MicroBatcher(threading.Thread):
         self.queue.put(None)  # unblock
 
     def _gather(self) -> List[_Pending]:
-        first = self.queue.get()
-        if first is None:
-            return []
+        # leftovers (other-bucket items from the previous round) seed this
+        # round FIRST — re-queueing them behind new arrivals would starve a
+        # minority bucket under sustained majority-bucket load
+        if self._leftover:
+            first = self._leftover.pop(0)
+        else:
+            first = self.queue.get()
+            if first is None:
+                return []
         batch = [first]
         bucket = first.image.shape[:2]
+        keep = []
+        for item in self._leftover:
+            if item.image.shape[:2] == bucket and len(batch) < self.max_batch:
+                batch.append(item)
+            else:
+                keep.append(item)
+        self._leftover = keep
         deadline = time.monotonic() + self.window_s
-        leftover = []
         while len(batch) < self.max_batch:
             budget = deadline - time.monotonic()
             if budget <= 0:
@@ -99,9 +115,7 @@ class MicroBatcher(threading.Thread):
             if item.image.shape[:2] == bucket:
                 batch.append(item)
             else:
-                leftover.append(item)  # different bucket: next round
-        for item in leftover:
-            self.queue.put(item)
+                self._leftover.append(item)
         return batch
 
     def run(self) -> None:  # pragma: no cover - exercised via the server
@@ -112,30 +126,36 @@ class MicroBatcher(threading.Thread):
             self._dispatch(batch)
 
     def _dispatch(self, batch: List[_Pending]) -> None:
-        n = len(batch)
+        # shed requests whose client already gave up (504 sent): running
+        # them anyway burns device time nobody reads — congestion collapse
+        # under backlog instead of recovery
+        now = time.monotonic()
+        live = [it for it in batch if it.deadline > now]
+        self.shed += len(batch) - len(live)
+        for it in batch:
+            if it.deadline <= now:
+                it.error = TimeoutError("expired before dispatch")
+                it.event.set()
+        if not live:
+            return
         try:
-            images = np.stack(
-                [it.image for it in batch]
-                + [batch[0].image] * (self.max_batch - n)
+            from ctpn_tpu.inference.pipeline import unscale_records
+
+            _, lines = self.predictor.run_padded(
+                [it.image for it in live], [it.info for it in live],
+                self.max_batch,
             )
-            infos = np.stack(
-                [it.info for it in batch]
-                + [batch[0].info] * (self.max_batch - n)
-            )
-            _, lines = self.predictor.run_batch(images, infos)
             counts = np.asarray(lines.count)
             recs_all = np.asarray(lines.recs)
             self.batches_run += 1
-            self.images_run += n
-            for b, it in enumerate(batch):
-                recs = recs_all[b, : int(counts[b])].astype(np.float64)
-                total_scale = it.f1 * float(it.info[2])
-                if len(recs):
-                    recs[:, :8] /= total_scale
-                it.result = recs
+            self.images_run += len(live)
+            for b, it in enumerate(live):
+                it.result = unscale_records(
+                    recs_all[b], int(counts[b]), it.f1, it.info
+                )
                 it.event.set()
         except Exception as e:  # pragma: no cover - defensive
-            for it in batch:
+            for it in live:
                 it.error = e
                 it.event.set()
 
@@ -166,28 +186,40 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path.split("?")[0] != "/healthz":
             return self._json(404, {"error": "not found"})
         srv = self.server
+        try:  # snapshot: the batcher thread may be inserting a new bucket
+            buckets = [list(k) for k in list(srv.predictor._fns)]
+        except RuntimeError:  # pragma: no cover - tiny race window
+            buckets = []
         self._json(200, {
             "status": "ok",
             "mode": srv.mode,
             "max_batch": srv.batcher.max_batch,
             "batches_run": srv.batcher.batches_run,
             "images_run": srv.batcher.images_run,
-            "buckets_compiled": [list(k) for k in srv.predictor._fns],
+            "requests_shed": srv.batcher.shed,
+            "buckets_compiled": buckets,
         })
 
     def do_POST(self):
         path, _, query = self.path.partition("?")
         if path != "/detect":
             return self._json(404, {"error": "not found"})
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            return self._json(400, {"error": "bad Content-Length"})
         want_mode = None
         for kv in query.split("&"):
             if kv.startswith("mode="):
                 want_mode = kv[5:].upper()
         if want_mode and want_mode != self.server.mode:
+            # drain the body so mid-upload clients get the JSON error
+            # instead of a connection reset
+            if length > 0:
+                self.rfile.read(length)
             return self._json(400, {
                 "error": f"server runs mode={self.server.mode}",
             })
-        length = int(self.headers.get("Content-Length", 0))
         if length <= 0:
             return self._json(400, {"error": "empty body"})
         body = self.rfile.read(length)
@@ -197,7 +229,10 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(400, {"error": "undecodable image"})
         resized, f1 = resize_im(im, cfg.TEXT.SCALE, cfg.TEXT.MAX_SCALE)
         data, info = prep_image(resized)
-        item = _Pending(data, info, f1, im.shape[:2])
+        item = _Pending(
+            data, info, f1, im.shape[:2],
+            deadline=time.monotonic() + self.server.request_timeout_s,
+        )
         self.server.batcher.submit(item)
         if not item.event.wait(timeout=self.server.request_timeout_s):
             return self._json(504, {"error": "detection timed out"})

@@ -103,6 +103,68 @@ def test_concurrent_requests_coalesce(server, rng):
     assert server.batcher.batches_run <= 3
 
 
+def test_microbatcher_leftovers_seed_next_round():
+    """Other-bucket items must lead the NEXT round, not requeue behind new
+    arrivals (minority-bucket starvation)."""
+    from ctpn_tpu.serving import MicroBatcher, _Pending
+
+    mb = MicroBatcher.__new__(MicroBatcher)  # no thread start
+    MicroBatcher.__init__(mb, predictor=None, max_batch=4, window_ms=1.0)
+
+    def item(shape):
+        return _Pending(np.zeros(shape + (3,), np.uint8),
+                        np.zeros(3, np.float32), 1.0, shape)
+
+    a1, b1, a2 = item((64, 96)), item((96, 64)), item((64, 96))
+    for it in (a1, b1, a2):
+        mb.submit(it)
+    first = mb._gather()
+    assert [id(x) for x in first] == [id(a1), id(a2)]
+    assert mb._leftover == [b1]
+    # a flood of majority-bucket arrivals must not delay b1
+    for _ in range(8):
+        mb.submit(item((64, 96)))
+    second = mb._gather()
+    assert second[0] is b1
+    mb.stop()
+
+
+def test_microbatcher_sheds_expired_requests():
+    from ctpn_tpu.serving import MicroBatcher, _Pending
+
+    class FakePredictor:
+        calls = []
+
+        def run_padded(self, images, infos, batch_size):
+            self.calls.append(len(images))
+            raise AssertionError("must not run for all-expired batch")
+
+    mb = MicroBatcher.__new__(MicroBatcher)
+    MicroBatcher.__init__(mb, predictor=FakePredictor(), max_batch=4,
+                          window_ms=1.0)
+    dead = _Pending(np.zeros((4, 4, 3), np.uint8), np.zeros(3, np.float32),
+                    1.0, (4, 4), deadline=0.0)  # long expired
+    mb._dispatch([dead])
+    assert dead.event.is_set()
+    assert isinstance(dead.error, TimeoutError)
+    assert mb.shed == 1 and FakePredictor.calls == []
+    mb.stop()
+
+
+def test_bad_content_length_header(server):
+    import http.client
+
+    host, port = server.server_address
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    conn.putrequest("POST", "/detect")
+    conn.putheader("Content-Length", "abc")
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 400
+    assert b"Content-Length" in resp.read()
+    conn.close()
+
+
 def test_bad_requests(server):
     status, out = _post(_url(server, "/detect"), b"not an image")
     assert status == 400 and "error" in out
