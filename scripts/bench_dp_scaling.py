@@ -3,11 +3,14 @@
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python scripts/bench_dp_scaling.py [--per-device-batch 2]
 
-Fixed per-device batch; meshes of 1/2/4/8 devices. On virtual CPU devices
-this measures the *program overhead* of GSPMD sharding + the gradient
-all-reduce, not ICI — the step-time ratio should stay ~flat (ideal weak
-scaling = 1.0x). Run on a real slice for ICI numbers (only one chip was
-available through round 2; see docs/PERFORMANCE.md).
+Fixed per-device batch; meshes of 1/2/4/8 devices. Virtual CPU devices
+SHARE the host cores, so the work-proportional ideal is step_ms =
+1dev_step_ms * devices (total FLOPs grow with global batch on fixed
+silicon); ``vs_work_ideal`` ~ 1.0 means GSPMD sharding + the gradient
+all-reduce add no overhead beyond the extra work. Flat-line weak scaling
+(step time constant as devices grow) is only observable on real chips —
+run on a slice for ICI numbers (one chip available through round 2; see
+docs/PERFORMANCE.md).
 """
 
 import argparse
@@ -101,6 +104,12 @@ def main(argv=None):
     base = results[0]["step_ms"]
     for r in results:
         r["vs_1dev"] = round(r["step_ms"] / base, 3)
+        # virtual devices SHARE the host cores, so total work (proportional
+        # to global batch) sets the floor: ideal step_ms on an
+        # oversubscribed host is base * devices, NOT flat. The sharding
+        # overhead is the ratio to that work-proportional ideal; flat-line
+        # weak scaling is only observable on real chips.
+        r["vs_work_ideal"] = round(r["step_ms"] / (base * r["devices"]), 3)
     print(json.dumps({"weak_scaling": results}))
 
 
