@@ -122,14 +122,16 @@ def chain_reachability(succ: jnp.ndarray, max_len: int | None = None):
     has_out = succ >= 0
     edge = (succ[:, None] == idx[None, :]) & has_out[:, None]
     has_in = jnp.any(edge, axis=0)
-    m = (edge | (idx[:, None] == idx[None, :])).astype(jnp.float32)
+    # bf16 operands are exact here (0/1 entries, f32 accumulation, counts
+    # <= N < 2^24) and run 2x faster on the MXU
+    m = (edge | (idx[:, None] == idx[None, :])).astype(jnp.bfloat16)
     bound = min(n, max_len) if max_len else n
     rounds = max(1, math.ceil(math.log2(max(bound, 2))))
     for _ in range(rounds):
         m = (
             jnp.matmul(m, m, preferred_element_type=jnp.float32) > 0.0
-        ).astype(jnp.float32)
-    return m, has_out & ~has_in
+        ).astype(jnp.bfloat16)
+    return m.astype(jnp.float32), has_out & ~has_in
 
 
 def _fit(r, cnt, xc, y):
