@@ -175,9 +175,12 @@ def _render_line(
     """Draw one text line (possibly rotated); returns per-word 8-coord
     polygons (None if the line did not fit)."""
     width, height = img.size
+    # include display sizes (96-150 px): the reference demo set has
+    # signage/headline text far above body-text scale
     size = size or int(rng.choice(
-        [14, 16, 20, 24, 28, 32, 40, 48, 56, 72],
-        p=[0.08, 0.1, 0.14, 0.14, 0.13, 0.12, 0.11, 0.08, 0.06, 0.04],
+        [14, 16, 20, 24, 28, 32, 40, 48, 56, 72, 96, 120, 150],
+        p=[0.07, 0.09, 0.13, 0.13, 0.12, 0.11, 0.1, 0.08, 0.06, 0.04,
+           0.03, 0.02, 0.02],
     ))
     font = _pick_font(rng, size)
     text = _line_text(rng)
