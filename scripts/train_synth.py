@@ -28,7 +28,43 @@ def main():
     p.add_argument("--stepsize", type=int, default=None,
                    help="LR step-decay boundary (cfg.TRAIN.STEPSIZE)")
     p.add_argument("--no-dp", action="store_true")
+    p.add_argument("--restore", action="store_true",
+                   help="resume training from the newest orbax snapshot")
+    p.add_argument("--train-only", action="store_true",
+                   help="skip export + holdout eval (segment of a longer run)")
+    p.add_argument("--segment-iters", type=int, default=None,
+                   help="run training in child processes of <= this many "
+                        "iters each with orbax resume between them. "
+                        "Workaround for the axon-tunnel client leaking "
+                        "~batch-bytes of host RAM per H2D transfer "
+                        "(~13 MB/iter at batch 8 -> OOM near 9k iters on a "
+                        "125 GB host); each segment's leak dies with its "
+                        "process. Irrelevant on real TPU hosts.")
     args = p.parse_args()
+
+    if args.segment_iters and args.iters > args.segment_iters:
+        import subprocess
+
+        base = list(sys.argv[1:])
+        if "--segment-iters" in base:  # "--segment-iters N" form
+            i = base.index("--segment-iters")
+            del base[i:i + 2]
+        else:  # "--segment-iters=N" form
+            base = [a for a in base if not a.startswith("--segment-iters")]
+        done = 0
+        while done < args.iters:
+            done = min(done + args.segment_iters, args.iters)
+            seg = [sys.executable, osp.abspath(__file__), *base]
+            for flag, val in (("--iters", str(done)),):
+                if flag in seg:
+                    seg[seg.index(flag) + 1] = val
+            if done > args.segment_iters:
+                seg.append("--restore")
+            if done < args.iters:
+                seg.append("--train-only")
+            print(f"== segment -> iter {done} ==", flush=True)
+            subprocess.run(seg, check=True)
+        return
 
     from ctpn_tpu.config import cfg
     from ctpn_tpu.data.prepare import split_labels, to_voc
@@ -81,10 +117,12 @@ def main():
     roidb = get_training_roidb(imdb)
     out_dir = osp.join(args.root, "output")
     metrics = train_net(
-        roidb, out_dir, max_iters=args.iters,
+        roidb, out_dir, max_iters=args.iters, restore=args.restore,
         data_parallel=not args.no_dp, batch_size=args.batch,
     )
     print("final:", json.dumps(metrics), flush=True)
+    if args.train_only:
+        return
 
     print("== export + detect holdout ==", flush=True)
     from ctpn_tpu.cli.export_model import main as export_main
