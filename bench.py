@@ -33,9 +33,9 @@ def main():
     backend = jax.default_backend()
 
     bh, bw = 608, 912
-    # batch 32 is the single-chip throughput sweet spot (see docs/PERFORMANCE.md)
-    batch = int(os.environ.get("BENCH_BATCH", "32" if backend == "tpu" else "2"))
-    iters = int(os.environ.get("BENCH_ITERS", "20" if backend == "tpu" else "2"))
+    # batch 48 is the single-chip throughput sweet spot (see docs/PERFORMANCE.md)
+    batch = int(os.environ.get("BENCH_BATCH", "48" if backend == "tpu" else "2"))
+    iters = int(os.environ.get("BENCH_ITERS", "14" if backend == "tpu" else "2"))
 
     model = get_network("VGGnet_test")
     rng = np.random.RandomState(0)
