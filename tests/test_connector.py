@@ -84,11 +84,12 @@ class TestGraph:
 
 
 class TestLines:
-    @pytest.mark.parametrize("mode", ["H", "O"])
+    @pytest.mark.parametrize("mode,slope", [
+        ("H", 0.0), ("O", 0.15), ("O", -0.2),  # -0.2: the k<0 shift branch
+    ])
     @pytest.mark.parametrize("seed", [0, 5])
-    def test_lines_match_oracle(self, mode, seed):
+    def test_lines_match_oracle(self, mode, slope, seed):
         rng = np.random.RandomState(seed)
-        slope = 0.0 if mode == "H" else 0.15
         boxes, scores = make_strip_scene(rng, slope=slope)
         im_size = np.array([600, 900, 1.0], np.float32)
 
