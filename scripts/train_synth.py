@@ -51,17 +51,26 @@ def main():
             del base[i:i + 2]
         else:  # "--segment-iters=N" form
             base = [a for a in base if not a.startswith("--segment-iters")]
-        done = 0
+        import time as _time
+
+        # resume point: skip segments the checkpoint already covers
+        ckpt_dir = osp.join(args.root, "output", "checkpoints")
+        steps = [int(d) for d in os.listdir(ckpt_dir)] if osp.isdir(ckpt_dir) else []
+        done = max(steps) if steps else 0
+        first = True
         while done < args.iters:
             done = min(done + args.segment_iters, args.iters)
             seg = [sys.executable, osp.abspath(__file__), *base]
             for flag, val in (("--iters", str(done)),):
                 if flag in seg:
                     seg[seg.index(flag) + 1] = val
-            if done > args.segment_iters:
+            if (steps or not first) and "--restore" not in seg:
                 seg.append("--restore")
             if done < args.iters:
                 seg.append("--train-only")
+            if not first:
+                _time.sleep(20)  # let the tunnel release the previous client
+            first = False
             print(f"== segment -> iter {done} ==", flush=True)
             subprocess.run(seg, check=True)
         return
