@@ -24,6 +24,8 @@ def main(argv=None):
     p.add_argument("--window-ms", type=float, default=5.0)
     p.add_argument("--no-warmup", action="store_true",
                    help="skip pre-compiling the config buckets")
+    p.add_argument("--request-timeout", type=float, default=120.0,
+                   help="seconds a request may wait before 504 + shed")
     p.add_argument("--cfg", default=None, help="YAML config to merge")
     p.add_argument("--set", dest="set_cfg", nargs="*", default=[],
                    help="cfg key/value overrides")
@@ -46,6 +48,7 @@ def main(argv=None):
         max_batch=args.max_batch,
         window_ms=args.window_ms,
         warmup_buckets=not args.no_warmup,
+        request_timeout_s=args.request_timeout,
     )
 
 

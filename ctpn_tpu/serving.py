@@ -250,6 +250,11 @@ class DetectionServer(ThreadingHTTPServer):
     """Threaded HTTP server wrapping a CTPNPredictor + MicroBatcher."""
 
     daemon_threads = True
+    # socketserver's default listen backlog is 5: a burst of concurrent
+    # clients beyond that gets TCP connection resets before a handler
+    # thread ever sees them. Detection requests are long-lived (they wait
+    # for a device batch), so bursts well past the batch size are normal.
+    request_queue_size = 128
 
     def __init__(self, predictor: CTPNPredictor, host: str = "127.0.0.1",
                  port: int = 0, max_batch: int = 8, window_ms: float = 5.0,
@@ -270,13 +275,15 @@ class DetectionServer(ThreadingHTTPServer):
 def serve(artifact: str, host: str = "0.0.0.0", port: int = 8000,
           mode: Optional[str] = None, max_batch: int = 8,
           window_ms: float = 5.0, warmup_buckets: bool = True,
+          request_timeout_s: float = 120.0,
           verbose: bool = True) -> None:  # pragma: no cover - CLI loop
     """Build predictor, optionally pre-compile every config bucket, serve."""
     from ctpn_tpu.utils.weights import load_params
 
     predictor = CTPNPredictor(load_params(artifact), mode=mode)
     server = DetectionServer(
-        predictor, host, port, max_batch, window_ms, verbose=verbose,
+        predictor, host, port, max_batch, window_ms,
+        request_timeout_s=request_timeout_s, verbose=verbose,
     )
     if warmup_buckets:
         for bh, bw in cfg.TPU.BUCKETS:
