@@ -236,6 +236,59 @@ def _render_line(
     return polys or None
 
 
+def _render_glyph_line(
+    img: Image.Image,
+    rng: np.random.RandomState,
+    y_hint: Optional[int] = None,
+) -> Optional[List[Tuple[float, ...]]]:
+    """One line of procedural stroke glyphs (CJK-like texture).
+
+    No CJK fonts exist in this environment, but the reference's demo set
+    includes dense ideograph text (008.jpg); square glyphs of random
+    strokes teach the classifier that texture. Ground truth is ONE
+    polygon for the whole line (ICDAR CJK convention: no word gaps).
+    """
+    width, height = img.size
+    size = int(rng.choice([16, 20, 26, 32, 40], p=[0.2, 0.25, 0.25, 0.2, 0.1]))
+    n_glyphs = rng.randint(4, max(5, min(18, (width - 20) // int(size * 1.15))))
+    gap = max(1, int(size * 0.12))
+    tw = n_glyphs * size + (n_glyphs - 1) * gap
+    th = size
+    if tw >= width - 12:
+        return None
+    x = rng.randint(4, max(5, width - tw - 8))
+    y = (y_hint if y_hint is not None
+         else rng.randint(4, max(5, height - th - 8)))
+    if y + th >= height - 4:
+        return None
+    fill = _text_fill(rng, _mean_color(img, (x, y, x + tw, y + th)))
+    d = ImageDraw.Draw(img)
+    gx = float(x)
+    for _ in range(n_glyphs):
+        w_stroke = max(1, size // 14)
+        for _s in range(rng.randint(3, 8)):
+            # strokes biased axis-aligned like real ideographs
+            if rng.rand() < 0.7:
+                if rng.rand() < 0.5:  # horizontal
+                    sy = y + rng.uniform(0.1, 0.9) * size
+                    x0 = gx + rng.uniform(0.0, 0.3) * size
+                    x1 = gx + rng.uniform(0.6, 1.0) * size
+                    d.line([x0, sy, x1, sy], fill=fill, width=w_stroke)
+                else:  # vertical
+                    sx = gx + rng.uniform(0.1, 0.9) * size
+                    y0 = y + rng.uniform(0.0, 0.3) * size
+                    y1 = y + rng.uniform(0.6, 1.0) * size
+                    d.line([sx, y0, sx, y1], fill=fill, width=w_stroke)
+            else:  # diagonal tick
+                x0 = gx + rng.uniform(0.1, 0.5) * size
+                y0 = y + rng.uniform(0.1, 0.5) * size
+                d.line([x0, y0, x0 + rng.uniform(0.2, 0.5) * size,
+                        y0 + rng.uniform(0.2, 0.5) * size],
+                       fill=fill, width=w_stroke)
+        gx += size + gap
+    return [(x, y, x + tw, y, x + tw, y + th, x, y + th)]
+
+
 def render_image(
     rng: np.random.RandomState,
     width: int = 900,
@@ -257,10 +310,23 @@ def render_image(
             if y > height - size - 10:
                 break
 
+    if rng.rand() < 0.25:  # dense glyph block: stacked CJK-like lines
+        y = rng.randint(8, height // 2)
+        for _ in range(rng.randint(2, 7)):
+            p = _render_glyph_line(img, rng, y_hint=y)
+            if p is not None:
+                polys.extend(p)
+                y = int(p[0][7] + rng.uniform(0.2, 0.7) * (p[0][7] - p[0][1]))
+            else:
+                y += 30
+            if y > height - 44:
+                break
+
     n_lines = rng.randint(1, max_lines + 1)
     for _ in range(n_lines):
         for _attempt in range(6):
-            p = _render_line(img, rng)
+            p = (_render_glyph_line(img, rng) if rng.rand() < 0.15
+                 else _render_line(img, rng))
             if p is not None:
                 polys.extend(p)
                 break
