@@ -43,6 +43,27 @@ def voc_tree(tmp_path, rng):
     return devkit
 
 
+def test_glyph_line_renderer_geometry():
+    from PIL import Image
+
+    from ctpn_tpu.data.synth import _render_glyph_line
+
+    rng = np.random.RandomState(5)
+    img = Image.new("RGB", (900, 600), (200, 200, 200))
+    for _ in range(20):
+        polys = _render_glyph_line(img, rng)
+        if polys is None:
+            continue
+        (x0, y0, x1, y1b, x2, y2, x3, y3) = polys[0]
+        assert len(polys) == 1  # one line-level polygon (CJK convention)
+        assert x1 > x0 and y2 > y0
+        assert 0 <= x0 and x1 < 900 and 0 <= y0 and y2 < 600
+        # glyph lines are wide relative to height (>= 4 glyphs)
+        assert (x1 - x0) >= 4 * (y2 - y0) * 0.8
+    arr = np.asarray(img)
+    assert (arr != 200).any()  # strokes actually drawn
+
+
 def test_strip_splitting_grid_alignment():
     # polygon x in [10, 75] -> strips [10,15],[16,31],[32,47],[48,63],[64,75]
     strips = split_polygon_to_strips([10, 5, 75, 5, 75, 40, 10, 40], 100, 200)
