@@ -177,6 +177,13 @@ def export_params_npz(params, out_file: str, dtype=np.float16) -> str:
     path (validated in tests/test_weights.py).
     """
     flat = {k: v.astype(dtype) for k, v in _flatten(jax.device_get(params))}
+    bad = [k for k, v in flat.items()
+           if v.size and not np.all(np.isfinite(v.astype(np.float32)))]
+    if bad:
+        raise ValueError(
+            f"non-finite values after {np.dtype(dtype).name} cast "
+            f"(overflow past the format's range?) in: {bad[:5]}"
+        )
     np.savez_compressed(out_file, **flat)
     return osp.abspath(out_file)
 

@@ -45,25 +45,31 @@ def main():
     if args.segment_iters and args.iters > args.segment_iters:
         import subprocess
 
-        base = list(sys.argv[1:])
-        if "--segment-iters" in base:  # "--segment-iters N" form
+        # normalize "--flag=value" to "--flag value" so rewrites below work
+        base = []
+        for a in sys.argv[1:]:
+            if a.startswith("--") and "=" in a:
+                base.extend(a.split("=", 1))
+            else:
+                base.append(a)
+        if "--segment-iters" in base:
             i = base.index("--segment-iters")
             del base[i:i + 2]
-        else:  # "--segment-iters=N" form
-            base = [a for a in base if not a.startswith("--segment-iters")]
         import time as _time
 
         # resume point: skip segments the checkpoint already covers
         ckpt_dir = osp.join(args.root, "output", "checkpoints")
-        steps = [int(d) for d in os.listdir(ckpt_dir)] if osp.isdir(ckpt_dir) else []
+        steps = ([int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+                 if osp.isdir(ckpt_dir) else [])
         done = max(steps) if steps else 0
         first = True
         while done < args.iters:
             done = min(done + args.segment_iters, args.iters)
             seg = [sys.executable, osp.abspath(__file__), *base]
-            for flag, val in (("--iters", str(done)),):
-                if flag in seg:
-                    seg[seg.index(flag) + 1] = val
+            if "--iters" in seg:
+                seg[seg.index("--iters") + 1] = str(done)
+            else:
+                seg.extend(["--iters", str(done)])
             if (steps or not first) and "--restore" not in seg:
                 seg.append("--restore")
             if done < args.iters:

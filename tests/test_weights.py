@@ -135,3 +135,13 @@ def test_npz_artifact_round_trip(tmp_path, rng):
         a, b = np.asarray(a), np.asarray(b)
         assert b.dtype == np.float32
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+def test_npz_export_rejects_f16_overflow(tmp_path):
+    """Values past float16 range must fail loudly at export, not ship inf."""
+    import pytest
+
+    from ctpn_tpu.utils.weights import export_params_npz
+
+    params = {"conv": {"kernel": np.array([1.0, 7e4], np.float32)}}
+    with pytest.raises(ValueError, match="non-finite"):
+        export_params_npz(params, str(tmp_path / "bad.npz"))
