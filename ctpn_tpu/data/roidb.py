@@ -26,23 +26,35 @@ from ctpn_tpu.data.voc import PascalVOC
 
 
 def prepare_roidb(imdb: PascalVOC) -> None:
-    roidb = imdb.roidb
-    sizes = [Image.open(imdb.image_path_at(i)).size for i in range(imdb.num_images)]
-    for i in range(len(imdb.image_index)):
-        entry = roidb[i]
-        entry["image"] = imdb.image_path_at(i)
-        entry["width"] = sizes[i % imdb.num_images][0] if len(sizes) else 0
-        entry["height"] = sizes[i % imdb.num_images][1] if len(sizes) else 0
-        gt_overlaps = entry["gt_overlaps"]
-        max_overlaps = gt_overlaps.max(axis=1)
-        max_classes = gt_overlaps.argmax(axis=1)
-        entry["max_classes"] = max_classes
-        entry["max_overlaps"] = max_overlaps
-        # sanity checks from `roidb.py:29-35`
-        zero_inds = np.where(max_overlaps == 0)[0]
-        assert all(max_classes[zero_inds] == 0)
-        nonzero_inds = np.where(max_overlaps > 0)[0]
-        assert all(max_classes[nonzero_inds] != 0)
+    """Attach image metadata and dense best-overlap fields to every entry.
+
+    Semantics of the reference enrichment (`lib/roi_data_layer/roidb.py:7-35`):
+    each roi gains the class index of its best-overlapping gt box plus that
+    overlap value, and a roi must be background (class 0) exactly when its
+    best overlap is zero. Flip augmentation repeats images, so sizes are
+    memoized per path rather than recomputed per entry.
+    """
+    size_of: dict = {}
+    for i, entry in enumerate(imdb.roidb):
+        path = imdb.image_path_at(i)
+        if path not in size_of:
+            with Image.open(path) as im:
+                size_of[path] = im.size
+        overlaps = entry["gt_overlaps"]
+        best = overlaps.argmax(axis=1)
+        entry.update(
+            image=path,
+            width=size_of[path][0],
+            height=size_of[path][1],
+            max_classes=best,
+            max_overlaps=overlaps.max(axis=1),
+        )
+        fg = entry["max_overlaps"] > 0
+        if np.any(best[~fg] != 0) or np.any(best[fg] == 0):
+            raise AssertionError(
+                f"roidb entry {i}: background/class disagreement "
+                "(a zero-overlap roi carries a foreground class or vice versa)"
+            )
 
 
 def get_training_roidb(imdb: PascalVOC) -> List[dict]:
