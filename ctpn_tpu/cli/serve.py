@@ -16,7 +16,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--artifact", required=True,
                    help="orbax dir or .npz inference artifact")
-    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address (pass 0.0.0.0 to expose externally)")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--mode", default=None, choices=[None, "H", "O"],
                    help="detect mode (default: cfg.TEST.DETECT_MODE)")

@@ -167,8 +167,18 @@ def _decode_image(body: bytes) -> np.ndarray:
         return rgb_to_bgr(np.asarray(im.convert("RGB")))
 
 
+# Largest accepted request body. Past this the request is rejected with
+# 413 before any read: an unauthenticated client must not be able to make
+# the server allocate unbounded RAM by lying in Content-Length.
+MAX_BODY_BYTES = 32 * 1024 * 1024
+
+
 class _Handler(BaseHTTPRequestHandler):
     server: "DetectionServer"
+    # socket-level read timeout: a client that opens a connection and
+    # trickles (or never sends) the body can hold a handler thread for at
+    # most this long (slowloris defense)
+    timeout = 30.0
 
     def log_message(self, fmt, *args):  # quiet by default
         if self.server.verbose:  # pragma: no cover
@@ -222,6 +232,11 @@ class _Handler(BaseHTTPRequestHandler):
             })
         if length <= 0:
             return self._json(400, {"error": "empty body"})
+        if length > MAX_BODY_BYTES:
+            self.close_connection = True  # don't drain a deliberately huge body
+            return self._json(413, {
+                "error": f"body exceeds {MAX_BODY_BYTES} bytes",
+            })
         body = self.rfile.read(length)
         try:
             im = _decode_image(body)
@@ -272,7 +287,7 @@ class DetectionServer(ThreadingHTTPServer):
         super().shutdown()
 
 
-def serve(artifact: str, host: str = "0.0.0.0", port: int = 8000,
+def serve(artifact: str, host: str = "127.0.0.1", port: int = 8000,
           mode: Optional[str] = None, max_batch: int = 8,
           window_ms: float = 5.0, warmup_buckets: bool = True,
           request_timeout_s: float = 120.0,

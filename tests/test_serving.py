@@ -41,7 +41,7 @@ def server(tiny_cfg):
     )["params"]
     srv = DetectionServer(
         CTPNPredictor(params), host="127.0.0.1", port=0,
-        max_batch=4, window_ms=50.0,
+        max_batch=4, window_ms=250.0,
     )
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -98,9 +98,10 @@ def test_concurrent_requests_coalesce(server, rng):
         for rec in out["boxes"]:
             assert len(rec) == 9
     # the 4 simultaneous requests fit in fewer batches than requests
-    # (window 50 ms, max_batch 4 — at least one real coalesce)
+    # (window 250 ms, max_batch 4 — at least one real coalesce; the wide
+    # window absorbs client-thread straggle on loaded CI hosts)
     assert server.batcher.images_run == 4
-    assert server.batcher.batches_run <= 3
+    assert server.batcher.batches_run < 4
 
 
 def test_microbatcher_leftovers_seed_next_round():
@@ -162,6 +163,23 @@ def test_bad_content_length_header(server):
     resp = conn.getresponse()
     assert resp.status == 400
     assert b"Content-Length" in resp.read()
+    conn.close()
+
+
+def test_oversized_body_rejected_without_read(server):
+    """A huge Content-Length must be refused up front (413), not buffered."""
+    import http.client
+
+    from ctpn_tpu.serving import MAX_BODY_BYTES
+
+    host, port = server.server_address
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    conn.putrequest("POST", "/detect")
+    conn.putheader("Content-Length", str(MAX_BODY_BYTES + 1))
+    conn.endheaders()  # send headers only — the body never follows
+    resp = conn.getresponse()
+    assert resp.status == 413
+    assert b"exceeds" in resp.read()
     conn.close()
 
 
