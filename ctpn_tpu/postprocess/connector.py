@@ -33,8 +33,10 @@ All stages are mask-carrying and jit/vmap-compatible.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -142,10 +144,14 @@ def _fit(r, cnt, xc, y):
     ``my + slope * (x_eval_c - mx)``. Degenerate = all member x equal
     (the reference then takes the head's y — caller substitutes).
     """
-    mx = (r @ xc) / cnt
-    my = (r @ y) / cnt
-    sxx = r @ (xc * xc) - cnt * mx * mx
-    sxy = r @ (xc * y) - cnt * mx * my
+    # full-f32 matmuls: default MXU precision may bf16-truncate the
+    # operands, and the subtractive covariance form below cancels most
+    # leading digits for chains far from the image center
+    dot = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    mx = dot(r, xc) / cnt
+    my = dot(r, y) / cnt
+    sxx = dot(r, xc * xc) - cnt * mx * mx
+    sxy = dot(r, xc * y) - cnt * mx * my
     degenerate = sxx <= 1e-6
     slope = jnp.where(degenerate, 0.0, sxy / jnp.where(degenerate, 1.0, sxx))
     return slope, mx, my, degenerate
