@@ -62,6 +62,50 @@ def merge_words_to_lines(
 
     ``boxes``: (N, 4) x0,y0,x1,y1. Returns (M, 4) merged boxes, M <= N.
     """
+
+    def joinable(a, b):
+        gap = max(a[0], b[0]) - min(a[2], b[2])  # <0 when overlapping
+        if gap > max_gap:
+            return False
+        ih = min(a[3], b[3]) - max(a[1], b[1])
+        hmin = min(a[3] - a[1], b[3] - b[1])
+        return hmin > 0 and ih / hmin >= min_v_overlap
+
+    return _merge_transitive(boxes, joinable)
+
+
+def merge_words_to_lines_geometric(
+    boxes: np.ndarray, gap_frac: float = 0.75, min_v_overlap: float = 0.5
+) -> np.ndarray:
+    """Geometry-only GT line merge, independent of the connector's rule.
+
+    Two words belong to the same line when their horizontal gap is at most
+    ``gap_frac`` x the smaller word's height (a space-scale gap at the
+    text's own size) and their vertical extents overlap by at least
+    ``min_v_overlap`` of the smaller height. Nothing here derives from the
+    detector's connector thresholds (``TEXT.MAX_HORIZONTAL_GAP``,
+    ``MIN_V_OVERLAPS``, size similarity), so scoring detections against
+    this merge does not share the detector's inductive bias —
+    ``merge_words_to_lines`` flatters the F numbers by construction.
+    Report both; quality claims should quote this one.
+    """
+
+    def joinable(a, b):
+        hmin = min(a[3] - a[1], b[3] - b[1])
+        if hmin <= 0:
+            return False
+        gap = max(a[0], b[0]) - min(a[2], b[2])
+        if gap > gap_frac * hmin:
+            return False
+        ih = min(a[3], b[3]) - max(a[1], b[1])
+        return ih / hmin >= min_v_overlap
+
+    return _merge_transitive(boxes, joinable)
+
+
+def _merge_transitive(boxes: np.ndarray, joinable) -> np.ndarray:
+    """Union boxes under the transitive closure of a pairwise predicate and
+    return each group's bounding box."""
     n = len(boxes)
     if n == 0:
         return np.zeros((0, 4))
@@ -75,15 +119,8 @@ def merge_words_to_lines(
 
     for i in range(n):
         for j in range(i + 1, n):
-            a, b = boxes[i], boxes[j]
-            gap = max(a[0], b[0]) - min(a[2], b[2])  # <0 when overlapping
-            if gap > max_gap:
-                continue
-            ih = min(a[3], b[3]) - max(a[1], b[1])
-            hmin = min(a[3] - a[1], b[3] - b[1])
-            if hmin <= 0 or ih / hmin < min_v_overlap:
-                continue
-            parent[find(i)] = find(j)
+            if joinable(boxes[i], boxes[j]):
+                parent[find(i)] = find(j)
     groups: Dict[int, list] = {}
     for i in range(n):
         groups.setdefault(find(i), []).append(i)

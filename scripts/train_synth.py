@@ -167,8 +167,14 @@ def main():
     # the lines a perfect detector could produce (ctpn_tpu.eval docstring).
     import numpy as np
 
-    from ctpn_tpu.eval import compare_result_dirs, merge_words_to_lines
+    from ctpn_tpu.eval import (compare_result_dirs, merge_words_to_lines,
+                               merge_words_to_lines_geometric)
 
+    # two GT line merges: "connector" uses the detector's own grouping rule
+    # (upper bound, shares the detector's bias), "geometric" is the
+    # independent criterion quality claims should quote (VERDICT r2 #6)
+    ref_geo_dir = ref_dir + "_geo"
+    os.makedirs(ref_geo_dir, exist_ok=True)
     for s in holdout:
         words = []
         with open(osp.join(gt_dir, f"gt_{s}.txt")) as f:
@@ -178,14 +184,19 @@ def main():
                     xs = [float(v[i]) for i in (0, 2, 4, 6)]
                     ys = [float(v[i]) for i in (1, 3, 5, 7)]
                     words.append([min(xs), min(ys), max(xs), max(ys)])
-        lines_gt = merge_words_to_lines(np.asarray(words).reshape(-1, 4))
-        with open(osp.join(ref_dir, f"res_{s}.txt"), "w") as out:
-            for x0, y0, x1, y1 in lines_gt:
-                out.write(f"{int(x0)},{int(y0)},{int(x1)},{int(y1)}\r\n")
+        words = np.asarray(words).reshape(-1, 4)
+        for d, merge in ((ref_dir, merge_words_to_lines),
+                         (ref_geo_dir, merge_words_to_lines_geometric)):
+            with open(osp.join(d, f"res_{s}.txt"), "w") as out:
+                for x0, y0, x1, y1 in merge(words):
+                    out.write(f"{int(x0)},{int(y0)},{int(x1)},{int(y1)}\r\n")
 
-    score = compare_result_dirs(res_dir, ref_dir)
-    score.pop("per_file")
-    print("holdout detection vs gt:", json.dumps(score, indent=2))
+    for label, d in (("connector-merge", ref_dir),
+                     ("geometric-merge", ref_geo_dir)):
+        score = compare_result_dirs(res_dir, d)
+        score.pop("per_file")
+        print(f"holdout detection vs gt ({label}):",
+              json.dumps(score, indent=2))
 
 
 if __name__ == "__main__":

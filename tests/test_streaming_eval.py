@@ -65,6 +65,29 @@ def test_merge_words_to_lines():
     assert len(ev.merge_words_to_lines(chain)) == 1
 
 
+def test_merge_words_to_lines_geometric():
+    """The independent merge joins at space-scale gaps only: thresholds
+    scale with text height, not with the connector's 50-px constant."""
+    words = np.array(
+        [
+            # 20-px-tall words, 10-px gaps (= 0.5x height): one line
+            [10, 20, 60, 40],
+            [70, 21, 130, 40],
+            # 40-px gap: far past gap_frac * 20 — separate, although the
+            # connector-rule merge (max_gap=50) would join it
+            [170, 20, 230, 40],
+        ],
+        dtype=np.float64,
+    )
+    geo = ev.merge_words_to_lines_geometric(words)
+    assert len(geo) == 2
+    assert len(ev.merge_words_to_lines(words)) == 1
+    # tall text scales its joinable gap up: 100-px-tall words, 60-px gap
+    tall = np.array([[0, 0, 80, 100], [140, 2, 220, 98]], dtype=np.float64)
+    assert len(ev.merge_words_to_lines_geometric(tall)) == 1
+    assert ev.merge_words_to_lines_geometric(np.zeros((0, 4))).shape == (0, 4)
+
+
 def test_stream_detect_over_directory(tmp_path, rng, monkeypatch):
     import jax
     import jax.numpy as jnp
