@@ -21,6 +21,13 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# persistent XLA cache (same one the predictor/solver entry points use):
+# the suite's many fixed-shape test programs compile once per code change,
+# not once per run — the dominant cost of a warm suite invocation
+from ctpn_tpu.utils.compilation import ensure_compilation_cache  # noqa: E402
+
+ensure_compilation_cache(min_compile_secs=0.0)
+
 
 @pytest.fixture
 def rng():
