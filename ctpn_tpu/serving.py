@@ -161,10 +161,12 @@ class MicroBatcher(threading.Thread):
 
 
 def _decode_image(body: bytes) -> np.ndarray:
-    from PIL import Image
+    from PIL import Image, ImageOps
 
     with Image.open(io.BytesIO(body)) as im:
-        return rgb_to_bgr(np.asarray(im.convert("RGB")))
+        # camera uploads are commonly stored rotated; honor EXIF like the
+        # file loader (utils/image.py::load_image_bgr) and cv2.imread do
+        return rgb_to_bgr(np.asarray(ImageOps.exif_transpose(im).convert("RGB")))
 
 
 # Largest accepted request body. Past this the request is rejected with

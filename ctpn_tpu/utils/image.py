@@ -17,7 +17,7 @@ from __future__ import annotations
 from typing import List, Sequence, Tuple
 
 import numpy as np
-from PIL import Image
+from PIL import Image, ImageOps
 
 from ctpn_tpu.config import cfg
 
@@ -94,8 +94,15 @@ def rgb_to_bgr(im: np.ndarray) -> np.ndarray:
 
 
 def load_image_bgr(path: str) -> np.ndarray:
-    """uint8 BGR image from disk (reference uses cv2.imread -> BGR)."""
+    """uint8 BGR image from disk (reference uses cv2.imread -> BGR).
+
+    EXIF orientation is applied, matching cv2.imread's default: the
+    reference demo set includes a camera photo stored rotated
+    (`data/demo/008.jpg`, orientation tag 6) whose golden outputs only
+    make sense on the upright image.
+    """
     with Image.open(path) as img:
+        img = ImageOps.exif_transpose(img)
         arr = np.asarray(img.convert("RGB"))
     return rgb_to_bgr(arr)
 

@@ -66,3 +66,20 @@ def test_batch_images_common_bucket(rng):
     assert data.shape[0] == 2
     assert infos.shape == (2, 3)
     assert data.shape[1:3] in {tuple(b) for b in cfg.TPU.BUCKETS}
+
+
+def test_load_image_applies_exif_orientation(tmp_path, rng):
+    """cv2.imread (the reference loader) honors EXIF orientation; ours must
+    too — demo 008.jpg is stored rotated (orientation tag 6) and its golden
+    boxes only exist on the upright image."""
+    from PIL import Image
+
+    from ctpn_tpu.utils.image import load_image_bgr
+
+    arr = rng.randint(0, 255, (40, 60, 3), dtype=np.uint8)
+    path = str(tmp_path / "rot.jpg")
+    exif = Image.Exif()
+    exif[274] = 6  # "rotate 90 CW to display upright"
+    Image.fromarray(arr).save(path, exif=exif)
+    loaded = load_image_bgr(path)
+    assert loaded.shape[:2] == (60, 40)  # transposed on load
