@@ -7,9 +7,13 @@ coalesces concurrent requests into bucket-keyed micro-batches:
 
 * requests decode/resize/pad on the handler thread (cheap, parallel under
   the ThreadingHTTPServer);
-* a single dispatcher thread gathers pending items for the SAME bucket
-  within a short window, pads the batch to a fixed size, and runs the
+* a dispatcher thread gathers pending items for the SAME bucket within a
+  short window, pads the batch to a fixed size, and async-dispatches the
   one compiled program per bucket (fixed shapes -> no recompiles, ever);
+* a completer thread blocks on finished batches and wakes the handlers —
+  so the device executes batch k while batch k-1's results stream out and
+  batch k+1 (possibly a different bucket) is being gathered: mixed-bucket
+  load pipelines instead of serializing on one thread;
 * responses carry line records mapped back to original image coordinates.
 
 Endpoints:
@@ -74,13 +78,24 @@ class MicroBatcher(threading.Thread):
         self.batches_run = 0
         self.images_run = 0
         self.shed = 0  # expired-before-dispatch requests
+        # dispatched-but-unfetched batches: jax dispatch is async, so the
+        # device can execute batch k while the completer thread blocks on
+        # batch k-1's results and this thread gathers batch k+1 (possibly
+        # for a DIFFERENT bucket). maxsize bounds device-queue depth — the
+        # same inflight=2 double buffering as inference/streaming.py.
+        self._done: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+        self._completer = threading.Thread(
+            target=self._complete_loop, daemon=True
+        )
+        self._completer.start()
 
     def submit(self, item: _Pending) -> None:
         self.queue.put(item)
 
     def stop(self) -> None:
         self._stop.set()
-        self.queue.put(None)  # unblock
+        self.queue.put(None)  # unblock gather
+        self._done.put(None)  # unblock completer
 
     def _gather(self) -> List[_Pending]:
         # leftovers (other-bucket items from the previous round) seed this
@@ -139,25 +154,42 @@ class MicroBatcher(threading.Thread):
         if not live:
             return
         try:
-            from ctpn_tpu.inference.pipeline import unscale_records
-
+            # async dispatch: returns device handles without waiting for
+            # execution; the completer thread blocks on the values
             _, lines = self.predictor.run_padded(
                 [it.image for it in live], [it.info for it in live],
                 self.max_batch,
             )
-            counts = np.asarray(lines.count)
-            recs_all = np.asarray(lines.recs)
-            self.batches_run += 1
-            self.images_run += len(live)
-            for b, it in enumerate(live):
-                it.result = unscale_records(
-                    recs_all[b], int(counts[b]), it.f1, it.info
-                )
-                it.event.set()
         except Exception as e:  # pragma: no cover - defensive
             for it in live:
                 it.error = e
                 it.event.set()
+            return
+        self._done.put((live, lines))  # blocks when 2 batches are in flight
+
+    def _complete_loop(self) -> None:
+        """Fetch finished batches and wake their waiting handlers."""
+        from ctpn_tpu.inference.pipeline import unscale_records
+
+        while True:
+            job = self._done.get()
+            if job is None:
+                return
+            live, lines = job
+            try:
+                counts = np.asarray(lines.count)
+                recs_all = np.asarray(lines.recs)
+                self.batches_run += 1
+                self.images_run += len(live)
+                for b, it in enumerate(live):
+                    it.result = unscale_records(
+                        recs_all[b], int(counts[b]), it.f1, it.info
+                    )
+                    it.event.set()
+            except Exception as e:  # pragma: no cover - defensive
+                for it in live:
+                    it.error = e
+                    it.event.set()
 
 
 def _decode_image(body: bytes) -> np.ndarray:

@@ -152,6 +152,65 @@ def test_microbatcher_sheds_expired_requests():
     mb.stop()
 
 
+def test_dispatch_overlaps_result_fetch():
+    """The dispatcher must launch batch k+1 while batch k's results are
+    still being fetched (async dispatch + completer thread) — otherwise
+    mixed-bucket load serializes on the device fetch."""
+    import time as _time
+
+    from ctpn_tpu.serving import MicroBatcher, _Pending
+
+    release = threading.Event()
+
+    class BlockingCount:
+        """np.asarray(...) on this blocks until the test releases it."""
+
+        def __array__(self, dtype=None, copy=None):
+            assert release.wait(timeout=60)
+            return np.ones(4, np.int32)
+
+    class Lines:
+        def __init__(self, blocking):
+            self.count = BlockingCount() if blocking else np.ones(4, np.int32)
+            self.recs = np.full((4, 8, 9), 2.0, np.float32)
+
+    class FakePredictor:
+        calls = []
+
+        def run_padded(self, images, infos, batch_size):
+            self.calls.append(len(images))
+            # first batch's results "execute" slowly; later ones are ready
+            return None, Lines(blocking=len(self.calls) == 1)
+
+    mb = MicroBatcher(predictor=FakePredictor(), max_batch=2, window_ms=5.0)
+    mb.start()
+
+    def item():
+        return _Pending(np.zeros((8, 8, 3), np.uint8),
+                        np.ones(3, np.float32), 1.0, (8, 8))
+
+    first = [item(), item()]
+    for it in first:
+        mb.submit(it)
+    # completer is now blocked fetching batch 1; batch 2 must still dispatch
+    second = [item(), item()]
+    for it in second:
+        mb.submit(it)
+    deadline = _time.monotonic() + 30
+    while len(FakePredictor.calls) < 2 and _time.monotonic() < deadline:
+        _time.sleep(0.01)
+    assert len(FakePredictor.calls) == 2, "second batch did not dispatch"
+    assert not first[0].event.is_set()  # batch 1 results still in flight
+
+    release.set()
+    for it in first + second:
+        assert it.event.wait(timeout=30)
+        assert it.error is None
+        assert it.result.shape == (1, 9)  # count=1 row, unscaled
+    assert mb.batches_run == 2 and mb.images_run == 4
+    mb.stop()
+
+
 def test_bad_content_length_header(server):
     import http.client
 
