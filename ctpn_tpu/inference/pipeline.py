@@ -215,4 +215,8 @@ class CTPNPredictor:
         img = np.full((batch, bh, bw, 3), 128, np.uint8)
         info = np.tile(np.array([bh, bw, 1.0], np.float32), (batch, 1))
         props, lines = self.run_batch(img, info)
-        jax.block_until_ready(lines.recs)
+        # fetch a VALUE: on tunnel backends block_until_ready returns
+        # before compilation/execution actually finish, which would shift
+        # the compile wait onto the first real request (bench.py has the
+        # same workaround)
+        np.asarray(lines.count)
