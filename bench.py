@@ -106,6 +106,8 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "48" if backend == "tpu" else "2"))
     iters = int(os.environ.get("BENCH_ITERS", "14" if backend == "tpu" else "2"))
     content = os.environ.get("BENCH_CONTENT", "real")
+    if content not in ("real", "noise"):
+        sys.exit(f"BENCH_CONTENT must be 'real' or 'noise', got {content!r}")
     if content == "real" and not osp.exists(ARTIFACT):
         content = "noise"
 

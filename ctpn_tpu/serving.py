@@ -176,6 +176,7 @@ class MicroBatcher(threading.Thread):
             if job is None:
                 return
             live, lines = job
+            done = 0  # items whose result is set and event fired
             try:
                 counts = np.asarray(lines.count)
                 recs_all = np.asarray(lines.recs)
@@ -186,8 +187,12 @@ class MicroBatcher(threading.Thread):
                         recs_all[b], int(counts[b]), it.f1, it.info
                     )
                     it.event.set()
+                    done = b + 1
             except Exception as e:  # pragma: no cover - defensive
-                for it in live:
+                # fail only the UNDELIVERED items: earlier ones already
+                # fired their event, and their handler may be mid-response
+                # — setting error on them would race a success into a 500
+                for it in live[done:]:
                     it.error = e
                     it.event.set()
 
@@ -252,13 +257,21 @@ class _Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", 0))
         except ValueError:
             return self._json(400, {"error": "bad Content-Length"})
+        # size cap FIRST: every drain/read below is bounded by it — a lying
+        # Content-Length must never make the server buffer unbounded RAM,
+        # on any error path (the mode-mismatch drain included)
+        if length > MAX_BODY_BYTES:
+            self.close_connection = True  # don't drain a deliberately huge body
+            return self._json(413, {
+                "error": f"body exceeds {MAX_BODY_BYTES} bytes",
+            })
         want_mode = None
         for kv in query.split("&"):
             if kv.startswith("mode="):
                 want_mode = kv[5:].upper()
         if want_mode and want_mode != self.server.mode:
-            # drain the body so mid-upload clients get the JSON error
-            # instead of a connection reset
+            # drain the (cap-bounded) body so mid-upload clients get the
+            # JSON error instead of a connection reset
             if length > 0:
                 self.rfile.read(length)
             return self._json(400, {
@@ -266,11 +279,6 @@ class _Handler(BaseHTTPRequestHandler):
             })
         if length <= 0:
             return self._json(400, {"error": "empty body"})
-        if length > MAX_BODY_BYTES:
-            self.close_connection = True  # don't drain a deliberately huge body
-            return self._json(413, {
-                "error": f"body exceeds {MAX_BODY_BYTES} bytes",
-            })
         body = self.rfile.read(length)
         try:
             im = _decode_image(body)

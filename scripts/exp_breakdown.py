@@ -15,14 +15,12 @@ import os.path as osp
 import sys
 import time
 
-sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
-sys.path.insert(0, ROOT)
 
 from bench import _real_batch  # noqa: E402
 from ctpn_tpu.config import cfg  # noqa: E402

@@ -45,6 +45,12 @@ def predictor():
         cfg.TEXT.SCALE = 304
         cfg.TEXT.MAX_SCALE = 456
         cfg.TPU.BUCKETS = [[304, 456]]
+        # the TEST-stage resize must shrink too: with the 600/1000 defaults
+        # prep_image would re-upscale the 304-side image ~2x and the
+        # fallback bucket would CROP it to the top-left quarter — the test
+        # would silently run on a crop, not the half-scale frame
+        cfg.TEST.SCALES = (304,)
+        cfg.TEST.MAX_SIZE = 456
     return CTPNPredictor(load_params(ARTIFACT), mode="H")
 
 
