@@ -242,6 +242,25 @@ def test_oversized_body_rejected_without_read(server):
     conn.close()
 
 
+def test_oversized_body_rejected_even_on_mode_mismatch(server):
+    """The size cap must precede the mode-mismatch drain: a lying
+    Content-Length on the ?mode= error path must get 413, not a buffered
+    multi-GB read."""
+    import http.client
+
+    from ctpn_tpu.serving import MAX_BODY_BYTES
+
+    host, port = server.server_address
+    wrong = "O" if server.mode == "H" else "H"
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    conn.putrequest("POST", f"/detect?mode={wrong}")
+    conn.putheader("Content-Length", str(MAX_BODY_BYTES + 1))
+    conn.endheaders()  # headers only — the body never follows
+    resp = conn.getresponse()
+    assert resp.status == 413
+    conn.close()
+
+
 def test_bad_requests(server):
     status, out = _post(_url(server, "/detect"), b"not an image")
     assert status == 400 and "error" in out
