@@ -27,6 +27,10 @@ def main():
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--stepsize", type=int, default=None,
                    help="LR step-decay boundary (cfg.TRAIN.STEPSIZE)")
+    p.add_argument("--ohem", action="store_true",
+                   help="enable online hard example mining "
+                        "(cfg.TRAIN.OHEM): hardest-negative selection in "
+                        "the loss instead of random bg subsampling")
     p.add_argument("--no-dp", action="store_true")
     p.add_argument("--restore", action="store_true",
                    help="resume training from the newest orbax snapshot")
@@ -120,6 +124,7 @@ def main():
     cfg.TRAIN.LEARNING_RATE = args.lr
     if args.stepsize:
         cfg.TRAIN.STEPSIZE = args.stepsize
+    cfg.TRAIN.OHEM = bool(args.ohem)
     cfg.TRAIN.SNAPSHOT_ITERS = max(200, args.iters // 6)
     cfg.TRAIN.DISPLAY = 20
     cfg.TRAIN.USE_FLIPPED = True
