@@ -68,6 +68,11 @@ def main(argv=None):
         help="run proposal decode + connector on the host (demo_pb.py parity "
         "mode: the device program stops at the raw head outputs)",
     )
+    p.add_argument(
+        "--frozen", default=None,
+        help="frozen artifact (.npz from export_model.py --frozen) — the "
+        "demo_pb.py flow: run serialized programs without building the model",
+    )
     args = p.parse_args(argv)
 
     if args.cfg:
@@ -75,7 +80,11 @@ def main(argv=None):
     if args.mode:
         cfg.TEST.DETECT_MODE = args.mode
 
-    if args.artifact:
+    if args.frozen:
+        from ctpn_tpu.inference.frozen import FrozenCTPN
+
+        predictor = FrozenCTPN(args.frozen)
+    elif args.artifact:
         from ctpn_tpu.utils.weights import load_params
 
         params = load_params(args.artifact)
@@ -92,8 +101,11 @@ def main(argv=None):
             jax.random.PRNGKey(0), jnp.zeros((1, 608, 608, 3), jnp.float32)
         )["params"]
 
-    predictor = CTPNPredictor(params)
-    predictor.warmup()
+    if not args.frozen:
+        predictor = CTPNPredictor(params)
+        predictor.warmup()
+    elif args.host_postprocess:
+        raise SystemExit("--host-postprocess needs live params, not --frozen")
 
     os.makedirs(args.output, exist_ok=True)
     paths = sorted(

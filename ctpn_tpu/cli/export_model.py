@@ -35,6 +35,18 @@ def main(argv=None):
     p.add_argument("--npy", default=None, help="VGG_imagenet.npy to convert")
     p.add_argument("--tf-vars", default=None, help="npz of {tf_var_name: array}")
     p.add_argument("--out", required=True)
+    p.add_argument(
+        "--frozen", action="store_true",
+        help="write a self-contained frozen artifact (serialized StableHLO "
+        "programs + weights, the `generate_pb.py` ctpn.pb analogue) instead "
+        "of a weights-only artifact",
+    )
+    p.add_argument(
+        "--frozen-shapes", default=None,
+        help="comma list of NxHxW program shapes to compile into the frozen "
+        "artifact, e.g. 1x608x912,8x608x912 (default: every cfg.TPU.BUCKETS "
+        "shape at batch 1)",
+    )
     args = p.parse_args(argv)
 
     if args.cfg:
@@ -63,7 +75,17 @@ def main(argv=None):
         params = convert_tf_vars(params, tf_vars)
         print(f"merged TF variables from {args.tf_vars}")
 
-    if args.out.endswith(".npz"):
+    if args.frozen:
+        from ctpn_tpu.inference.frozen import export_frozen
+
+        shapes = None
+        if args.frozen_shapes:
+            shapes = [
+                tuple(int(d) for d in s.split("x"))
+                for s in args.frozen_shapes.split(",")
+            ]
+        out = export_frozen(params, args.out, shapes=shapes)
+    elif args.out.endswith(".npz"):
         from ctpn_tpu.utils.weights import export_params_npz
 
         out = export_params_npz(params, args.out)

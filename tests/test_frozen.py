@@ -1,0 +1,119 @@
+"""Frozen-artifact round trip (reference `generate_pb.py` -> `demo_pb.py`).
+
+The reference freezes its graph to `ctpn.pb` and runs it back without the
+model-building code. These tests do the TPU-native equivalent: serialize the
+full detect program via jax.export, reload it from the single .npz, and
+check the reloaded program reproduces the live jit pipeline exactly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def frozen_env(tmp_path_factory):
+    """Export a small-bucket frozen artifact + capture live outputs.
+
+    cfg is mutated only INSIDE this fixture (small shapes/counts for test
+    speed); everything the tests need — live outputs, the artifact path —
+    is computed here while that cfg is active, proving the artifact carries
+    its own settings (the per-test cfg reset must not change its behavior).
+    """
+    from ctpn_tpu.config import cfg, reset_cfg
+    from ctpn_tpu.inference.frozen import FrozenCTPN, export_frozen
+    from ctpn_tpu.inference.pipeline import build_detect_fn
+    from ctpn_tpu.models.factory import get_network
+
+    bh, bw = 128, 160
+    cfg.TEST.RPN_PRE_NMS_TOP_N = 500
+    cfg.TEST.RPN_POST_NMS_TOP_N = 100
+    cfg.TPU.MAX_LINES = 32
+    cfg.TEXT.SCALE = 96
+    cfg.TEXT.MAX_SCALE = 160
+    cfg.TEST.SCALES = (96,)
+    cfg.TEST.MAX_SIZE = 160
+
+    model = get_network("VGGnet_test")
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, bh, bw, 3), jnp.float32)
+    )["params"]
+
+    rng = np.random.RandomState(3)
+    images = rng.randint(0, 256, (1, bh, bw, 3), np.uint8)
+    im_info = np.array([[bh, bw, 1.0]], np.float32)
+
+    detect = jax.jit(build_detect_fn(model, mode=cfg.TEST.DETECT_MODE))
+    props, lines = detect(params, jnp.asarray(images), jnp.asarray(im_info))
+    live = tuple(
+        np.asarray(x)
+        for x in (props.rois, props.valid, props.count,
+                  lines.recs, lines.valid, lines.count)
+    )
+
+    path = str(tmp_path_factory.mktemp("frozen") / "ctpn_frozen.npz")
+    out_path = export_frozen(params, path, shapes=[(1, bh, bw)])
+    reset_cfg()
+    return {
+        "artifact": FrozenCTPN(out_path),
+        "images": images,
+        "im_info": im_info,
+        "live": live,
+        "bucket": (bh, bw),
+    }
+
+
+def test_frozen_matches_live(frozen_env):
+    """Reloaded StableHLO program == live jit pipeline, bit for bit."""
+    out = frozen_env["artifact"].run_batch(
+        frozen_env["images"], frozen_env["im_info"]
+    )
+    assert len(out) == 6
+    for got, want in zip(out, frozen_env["live"]):
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_meta_records_abi_and_platform(frozen_env):
+    meta = frozen_env["artifact"].meta
+    assert meta["abi"][0] == "rois" and meta["abi"][3] == "recs"
+    assert jax.default_backend().lower() in [
+        p.lower() for p in meta["platforms"]
+    ]
+    assert frozen_env["artifact"].shapes == [(1,) + frozen_env["bucket"]]
+
+
+def test_unknown_shape_rejected(frozen_env):
+    bad = np.zeros((1, 64, 80, 3), np.uint8)
+    info = np.array([[64, 80, 1.0]], np.float32)
+    with pytest.raises(ValueError, match="no exported program"):
+        frozen_env["artifact"].run_batch(bad, info)
+
+
+def test_detect_image_end_to_end(frozen_env):
+    """Image-in/records-out without model code or live config: the artifact
+    resizes with its STORED scales and pads into its own exported bucket."""
+    rng = np.random.RandomState(7)
+    im = rng.randint(0, 256, (100, 130, 3), np.uint8)
+    recs = frozen_env["artifact"].detect_image(im)
+    assert recs.ndim == 2 and recs.shape[1] == 9
+    # records are in original image coords (unscaled back)
+    if len(recs):
+        assert recs[:, 0:8:2].max() <= 130 and recs[:, 1:8:2].max() <= 100
+
+
+def test_export_cli_writes_frozen(tmp_path):
+    """export_model --frozen produces a loadable artifact (tiny shape)."""
+    from ctpn_tpu.cli.export_model import main as export_main
+    from ctpn_tpu.config import cfg
+    from ctpn_tpu.inference.frozen import FORMAT, FrozenCTPN
+
+    cfg.TEST.RPN_PRE_NMS_TOP_N = 200
+    cfg.TEST.RPN_POST_NMS_TOP_N = 50
+    cfg.TPU.MAX_LINES = 16
+    out = str(tmp_path / "frozen_cli.npz")
+    export_main(["--out", out, "--frozen", "--frozen-shapes", "1x64x80"])
+    art = FrozenCTPN(out)
+    assert art.meta["format"] == FORMAT
+    assert art.shapes == [(1, 64, 80)]
