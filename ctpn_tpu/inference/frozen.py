@@ -30,7 +30,7 @@ will not retarget.
 from __future__ import annotations
 
 import json
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,17 @@ import numpy as np
 
 FORMAT = "ctpn-frozen-v1"
 ABI = ("rois", "roi_valid", "roi_count", "recs", "line_valid", "line_count")
+
+
+def is_frozen(path: str) -> bool:
+    """True if ``path`` is a frozen artifact (vs a weights-only npz/dir)."""
+    if not path.endswith(".npz"):
+        return False
+    try:
+        with np.load(path) as z:
+            return "__meta__" in z.files
+    except Exception:
+        return False
 
 
 def export_frozen(
@@ -194,3 +205,68 @@ class FrozenCTPN:
         from ctpn_tpu.utils.image import load_image_bgr
 
         return self.detect_image(load_image_bgr(path))
+
+
+class _FrozenLines(NamedTuple):
+    """Duck-typed TextLines view over the flat ABI (recs/valid/count)."""
+
+    recs: Any
+    valid: Any
+    count: Any
+
+
+class FrozenPredictor:
+    """CTPNPredictor-compatible facade over a frozen artifact.
+
+    Exposes the ``mode`` / ``run_padded`` / ``warmup`` surface that
+    `serving.py` and `inference/streaming.py` drive, so a frozen file
+    deploys interchangeably with live params — the ctpn.pb-in-production
+    story. Unlike CTPNPredictor it cannot compile new shapes: every
+    (batch, bucket) the consumer will feed must have been exported
+    (`export_model.py --frozen-shapes 8x608x912,...` for a max_batch-8
+    server).
+    """
+
+    def __init__(self, frozen: FrozenCTPN, mode: Optional[str] = None):
+        self.frozen = frozen
+        if mode and mode != frozen.meta["mode"]:
+            raise ValueError(
+                f"artifact was frozen in mode {frozen.meta['mode']!r}; "
+                f"cannot serve mode {mode!r} — re-export"
+            )
+        self.mode = frozen.meta["mode"]
+        # (bucket_h, bucket_w) shapes actually run, for health reporting
+        # (mirrors CTPNPredictor._fns keys)
+        self._fns: Dict[Tuple[int, int], bool] = {}
+
+    def run_batch(self, images: np.ndarray, im_info: np.ndarray):
+        out = self.frozen.run_batch(images, im_info)
+        self._fns[(int(images.shape[1]), int(images.shape[2]))] = True
+        props = out[:3]
+        return props, _FrozenLines(recs=out[3], valid=out[4], count=out[5])
+
+    def run_padded(self, images, infos, batch_size: int):
+        pad = batch_size - len(images)
+        stacked = np.stack(list(images) + [images[0]] * pad)
+        stacked_i = np.stack(list(infos) + [infos[0]] * pad)
+        return self.run_batch(stacked, stacked_i)
+
+    def detect_image(self, im_bgr: np.ndarray) -> np.ndarray:
+        return self.frozen.detect_image(im_bgr)
+
+    def warmup(self, bucket: Optional[Tuple[int, int]] = None, batch: int = 1):
+        """Pre-run exported programs (all shapes at ``batch``, or one bucket)."""
+        shapes = [s for s in self.frozen.shapes if s[0] == batch]
+        if bucket is not None:
+            shapes = [s for s in shapes if (s[1], s[2]) == tuple(bucket)]
+        if not shapes:
+            raise ValueError(
+                f"artifact has no batch-{batch} program"
+                + (f" for bucket {tuple(bucket)}" if bucket else "")
+                + f"; exported shapes: {self.frozen.shapes}"
+            )
+        for n, bh, bw in shapes:
+            img = np.full((n, bh, bw, 3), 128, np.uint8)
+            info = np.tile(np.array([bh, bw, 1.0], np.float32), (n, 1))
+            _, lines = self.run_batch(img, info)
+            np.asarray(lines.count)  # fetch a VALUE (tunnel warmup contract)

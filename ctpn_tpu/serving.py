@@ -334,15 +334,30 @@ def serve(artifact: str, host: str = "127.0.0.1", port: int = 8000,
           window_ms: float = 5.0, warmup_buckets: bool = True,
           request_timeout_s: float = 120.0,
           verbose: bool = True) -> None:  # pragma: no cover - CLI loop
-    """Build predictor, optionally pre-compile every config bucket, serve."""
+    """Build predictor, optionally pre-compile every config bucket, serve.
+
+    ``artifact`` may be live weights (orbax dir / params npz) or a frozen
+    artifact (`export_model.py --frozen`); frozen deploys need a program
+    per served shape (`--frozen-shapes {max_batch}x<bucket> ...`).
+    """
+    from ctpn_tpu.inference.frozen import (FrozenCTPN, FrozenPredictor,
+                                           is_frozen)
     from ctpn_tpu.utils.weights import load_params
 
-    predictor = CTPNPredictor(load_params(artifact), mode=mode)
+    if is_frozen(artifact):
+        predictor = FrozenPredictor(FrozenCTPN(artifact), mode=mode)
+        if verbose:
+            print(f"ctpn-serve: frozen artifact, programs "
+                  f"{predictor.frozen.shapes}", flush=True)
+    else:
+        predictor = CTPNPredictor(load_params(artifact), mode=mode)
     server = DetectionServer(
         predictor, host, port, max_batch, window_ms,
         request_timeout_s=request_timeout_s, verbose=verbose,
     )
-    if warmup_buckets:
+    if warmup_buckets and isinstance(predictor, FrozenPredictor):
+        predictor.warmup(batch=max_batch)  # all exported max_batch programs
+    elif warmup_buckets:
         for bh, bw in cfg.TPU.BUCKETS:
             if verbose:
                 print(f"warming bucket ({bh}, {bw}) at batch {max_batch}...",

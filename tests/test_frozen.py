@@ -58,6 +58,7 @@ def frozen_env(tmp_path_factory):
     reset_cfg()
     return {
         "artifact": FrozenCTPN(out_path),
+        "path": out_path,
         "images": images,
         "im_info": im_info,
         "live": live,
@@ -101,6 +102,56 @@ def test_detect_image_end_to_end(frozen_env):
     # records are in original image coords (unscaled back)
     if len(recs):
         assert recs[:, 0:8:2].max() <= 130 and recs[:, 1:8:2].max() <= 100
+
+
+def test_frozen_predictor_streams(frozen_env, tmp_path):
+    """FrozenPredictor drives stream_detect exactly like live params — the
+    deploy-a-frozen-file serving facade (serving.py auto-detects it too)."""
+    from PIL import Image
+
+    from ctpn_tpu.config import cfg
+    from ctpn_tpu.inference.frozen import FrozenPredictor
+    from ctpn_tpu.inference.streaming import stream_detect
+
+    cfg.TEXT.SCALE = 96
+    cfg.TEXT.MAX_SCALE = 160
+    cfg.TEST.SCALES = (96,)
+    cfg.TEST.MAX_SIZE = 160
+    cfg.TPU.BUCKETS = [list(frozen_env["bucket"])]
+
+    rng = np.random.RandomState(11)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"im{i}.png")
+        Image.fromarray(rng.randint(0, 256, (100, 130, 3), np.uint8)).save(p)
+        paths.append(p)
+    pred = FrozenPredictor(frozen_env["artifact"])
+    results = dict(stream_detect(paths, pred, batch_size=1, workers=2))
+    assert sorted(results) == sorted(paths)
+    for recs in results.values():
+        assert recs.ndim == 2 and recs.shape[1] == 9
+    assert frozen_env["bucket"] in pred._fns  # recorded for /healthz
+
+
+def test_frozen_predictor_guards(frozen_env):
+    from ctpn_tpu.inference.frozen import FrozenPredictor
+
+    art = frozen_env["artifact"]
+    other = "O" if art.meta["mode"] == "H" else "H"
+    with pytest.raises(ValueError, match="mode"):
+        FrozenPredictor(art, mode=other)
+    with pytest.raises(ValueError, match="no batch-4 program"):
+        FrozenPredictor(art).warmup(batch=4)
+
+
+def test_is_frozen_detects(frozen_env, tmp_path):
+    from ctpn_tpu.inference.frozen import is_frozen
+
+    assert is_frozen(frozen_env["path"])
+    plain = str(tmp_path / "weights.npz")
+    np.savez(plain, w=np.zeros(3))
+    assert not is_frozen(plain)
+    assert not is_frozen("/nonexistent/artifact_dir")
 
 
 def test_export_cli_writes_frozen(tmp_path):
