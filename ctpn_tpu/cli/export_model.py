@@ -47,6 +47,11 @@ def main(argv=None):
         "artifact, e.g. 1x608x912,8x608x912 (default: every cfg.TPU.BUCKETS "
         "shape at batch 1)",
     )
+    p.add_argument(
+        "--frozen-dp", type=int, default=None,
+        help="export frozen programs data-parallel over this many devices "
+        "(batch dim-0 sharded; every shape's batch must divide evenly)",
+    )
     args = p.parse_args(argv)
 
     if args.cfg:
@@ -84,7 +89,8 @@ def main(argv=None):
                 tuple(int(d) for d in s.split("x"))
                 for s in args.frozen_shapes.split(",")
             ]
-        out = export_frozen(params, args.out, shapes=shapes)
+        out = export_frozen(params, args.out, shapes=shapes,
+                            dp_devices=args.frozen_dp)
     elif args.out.endswith(".npz"):
         from ctpn_tpu.utils.weights import export_params_npz
 

@@ -57,12 +57,18 @@ def export_frozen(
     shapes: Sequence[Tuple[int, int, int]] = None,
     mode: Optional[str] = None,
     model=None,
+    dp_devices: Optional[int] = None,
 ) -> str:
     """Serialize the full detect program + weights into ``out_path`` (.npz).
 
     ``shapes``: (batch, bucket_h, bucket_w) triples to compile; defaults to
     every cfg.TPU.BUCKETS shape at batch 1 (the demo contract). Heights and
     widths must be multiples of the 16-px stride, like all bucket shapes.
+
+    ``dp_devices``: export each program data-parallel over that many
+    devices (params replicated, batch dim-0 sharded — `parallel/dp.py`'s
+    inference recipe baked into the artifact). Every shape's batch must
+    divide evenly; the loader needs >= that many devices to run it.
     """
     from jax import export as jexport
 
@@ -83,10 +89,35 @@ def export_frozen(
         return (props.rois, props.valid, props.count,
                 lines.recs, lines.valid, lines.count)
 
+    if dp_devices and dp_devices > 1:
+        from ctpn_tpu.parallel.mesh import (data_sharding, make_mesh,
+                                            replicated)
+
+        bad = [s for s in shapes if s[0] % dp_devices]
+        if bad:
+            raise ValueError(
+                f"batch of shapes {bad} not divisible by dp_devices="
+                f"{dp_devices}"
+            )
+        if len(jax.devices()) < dp_devices:
+            raise RuntimeError(
+                f"dp_devices={dp_devices} but only {len(jax.devices())} "
+                "devices visible at export"
+            )
+        mesh = make_mesh(jax.devices()[:dp_devices])
+        jitted = jax.jit(
+            flat_fn,
+            in_shardings=(replicated(mesh), data_sharding(mesh),
+                          data_sharding(mesh)),
+        )
+    else:
+        dp_devices = 1
+        jitted = jax.jit(flat_fn)
+
     blobs: Dict[str, np.ndarray] = {}
     platforms = None
     for n, bh, bw in shapes:
-        exp = jexport.export(jax.jit(flat_fn))(
+        exp = jexport.export(jitted)(
             [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves],
             jax.ShapeDtypeStruct((n, bh, bw, 3), jnp.uint8),
             jax.ShapeDtypeStruct((n, 3), jnp.float32),
@@ -108,6 +139,7 @@ def export_frozen(
         "text_max_scale": int(cfg.TEXT.MAX_SCALE),
         "test_scale": int(cfg.TEST.SCALES[0]),
         "test_max_size": int(cfg.TEST.MAX_SIZE),
+        "dp_devices": int(dp_devices),
         "jax_version": jax.__version__,
     }
     arrays = {f"param/{i}": np.asarray(l) for i, l in enumerate(leaves)}
@@ -127,15 +159,17 @@ class FrozenCTPN:
     """
 
     def __init__(self, path: str):
-        z = np.load(path)
-        self.meta = json.loads(bytes(z["__meta__"]).decode())
-        if self.meta.get("format") != FORMAT:
-            raise ValueError(f"{path}: not a {FORMAT} artifact")
-        self._leaves = [z[f"param/{i}"] for i in range(self.meta["n_params"])]
-        self._blobs = {
-            tuple(int(d) for d in k.split("/")[1].split("x")): bytes(z[k])
-            for k in z.files if k.startswith("mlir/")
-        }
+        with np.load(path) as z:
+            self.meta = json.loads(bytes(z["__meta__"]).decode())
+            if self.meta.get("format") != FORMAT:
+                raise ValueError(f"{path}: not a {FORMAT} artifact")
+            self._leaves = [
+                z[f"param/{i}"] for i in range(self.meta["n_params"])
+            ]
+            self._blobs = {
+                tuple(int(d) for d in k.split("/")[1].split("x")): bytes(z[k])
+                for k in z.files if k.startswith("mlir/")
+            }
         self._fns = {}
         backend = jax.default_backend()
         plats = [p.lower() for p in self.meta.get("platforms") or []]
@@ -158,7 +192,24 @@ class FrozenCTPN:
         if key not in self._fns:
             from jax import export as jexport
 
-            self._fns[key] = jexport.deserialize(self._blobs[key]).call
+            call = jexport.deserialize(self._blobs[key]).call
+            n_dev = int(self.meta.get("dp_devices") or 1)
+            if n_dev > 1:
+                # a DP-exported program must run in an n_dev context: wrap
+                # in a jit carrying the same shardings (params replicated,
+                # batch dim-0 sharded) over the local devices
+                from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+                if len(jax.devices()) < n_dev:
+                    raise RuntimeError(
+                        f"artifact program was exported for {n_dev} "
+                        f"devices; only {len(jax.devices())} visible"
+                    )
+                mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("data",))
+                repl = NamedSharding(mesh, PartitionSpec())
+                ds = NamedSharding(mesh, PartitionSpec("data"))
+                call = jax.jit(call, in_shardings=(repl, ds, ds))
+            self._fns[key] = call
         return self._fns[key]
 
     def run_batch(self, images: np.ndarray, im_info: np.ndarray):

@@ -154,6 +154,56 @@ def test_is_frozen_detects(frozen_env, tmp_path):
     assert not is_frozen("/nonexistent/artifact_dir")
 
 
+def test_frozen_dp_export_matches_live_sharded(frozen_env, tmp_path):
+    """A DP-sharded frozen program (8-device mesh, batch dim-0 sharded)
+    reproduces the LIVE sharded program bit for bit — multi-chip frozen
+    serving (SURVEY §2.3's DP target baked into the deploy artifact).
+
+    The comparison target is the live GSPMD program, not the single-device
+    one: sharding reorders float reductions inside the trunk (drift ~1e-7
+    on head scores), and the discrete sort/NMS stages amplify ties — the
+    same known property the DP TRAINING parity test covers with tolerances
+    (`test_training.py::test_dp_step_matches_single_device`). What the
+    frozen path must guarantee is that serialize->deserialize->run is
+    exact w.r.t. what was exported."""
+    from ctpn_tpu.config import cfg, reset_cfg
+    from ctpn_tpu.inference.frozen import FrozenCTPN, export_frozen
+    from ctpn_tpu.inference.pipeline import build_detect_fn
+    from ctpn_tpu.models.factory import get_network
+    from ctpn_tpu.parallel.dp import shard_detect_fn
+    from ctpn_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    bh, bw = 64, 80
+    cfg.TEST.RPN_PRE_NMS_TOP_N = 200
+    cfg.TEST.RPN_POST_NMS_TOP_N = 50
+    cfg.TPU.MAX_LINES = 16
+    model = get_network("VGGnet_test")
+    params = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, bh, bw, 3), jnp.float32)
+    )["params"]
+    rng = np.random.RandomState(5)
+    images = rng.randint(0, 256, (8, bh, bw, 3), np.uint8)
+    infos = np.tile(np.array([bh, bw, 1.0], np.float32), (8, 1))
+
+    mesh = make_mesh(jax.devices()[:8])
+    detect_dp = shard_detect_fn(build_detect_fn(model, mode="H"), mesh)
+    props, lines = detect_dp(params, jnp.asarray(images), jnp.asarray(infos))
+    live = [props.rois, props.valid, props.count,
+            lines.recs, lines.valid, lines.count]
+
+    path = str(tmp_path / "frozen_dp.npz")
+    export_frozen(params, path, shapes=[(8, bh, bw)], mode="H", dp_devices=8)
+    reset_cfg()
+
+    art = FrozenCTPN(path)
+    assert art.meta["dp_devices"] == 8
+    out = art.run_batch(images, infos)
+    for got, want in zip(out, live):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_export_cli_writes_frozen(tmp_path):
     """export_model --frozen produces a loadable artifact (tiny shape)."""
     from ctpn_tpu.cli.export_model import main as export_main
