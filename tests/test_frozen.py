@@ -6,6 +6,8 @@ full detect program via jax.export, reload it from the single .npz, and
 check the reloaded program reproduces the live jit pipeline exactly.
 """
 
+import json
+
 import numpy as np
 import pytest
 
@@ -202,6 +204,31 @@ def test_frozen_dp_export_matches_live_sharded(frozen_env, tmp_path):
     out = art.run_batch(images, infos)
     for got, want in zip(out, live):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_platform_mismatch_rejected(frozen_env, tmp_path):
+    """An artifact frozen for another platform must fail at load with a
+    pointed message (a GPU ctpn.pb will not retarget either)."""
+    from ctpn_tpu.inference.frozen import FrozenCTPN
+
+    z = dict(np.load(frozen_env["path"]))
+    meta = json.loads(bytes(z["__meta__"]).decode())
+    meta["platforms"] = ["tpu"]
+    z["__meta__"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
+    path = str(tmp_path / "tpu_only.npz")
+    np.savez(path, **z)
+    with pytest.raises(RuntimeError, match="exported for"):
+        FrozenCTPN(path)
+
+
+def test_dp_export_validates_batch_divisibility(frozen_env, tmp_path):
+    from ctpn_tpu.inference.frozen import export_frozen
+
+    with pytest.raises(ValueError, match="not divisible"):
+        export_frozen(
+            {"w": jnp.zeros(3)}, str(tmp_path / "x.npz"),
+            shapes=[(3, 64, 80)], dp_devices=2,
+        )
 
 
 def test_export_cli_writes_frozen(tmp_path):
