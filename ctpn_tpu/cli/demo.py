@@ -84,6 +84,12 @@ def main(argv=None):
         from ctpn_tpu.inference.frozen import FrozenCTPN
 
         predictor = FrozenCTPN(args.frozen)
+        baked = predictor.meta["mode"]
+        if args.mode and args.mode != baked:
+            raise SystemExit(
+                f"--mode {args.mode} conflicts with the artifact's baked "
+                f"mode {baked!r}; re-export with --frozen for that mode"
+            )
     elif args.artifact:
         from ctpn_tpu.utils.weights import load_params
 
