@@ -18,6 +18,14 @@ random-noise/random-weights row is also measured for comparison
 
 Baseline: BASELINE.json targets >= 1000 images/sec on a v5e-8 (8 chips) =
 125 images/sec/chip; vs_baseline = measured_per_chip / 125.
+
+Driver-proofing: the measurement itself runs in a supervised child
+process. Backend init (the axon TPU tunnel) can be transiently
+UNAVAILABLE — round 3's driver capture died on a bare traceback from
+exactly that. The supervisor retries the child (default 3 attempts, 30 s
+backoff, fresh process each time so no poisoned backend cache), and on
+persistent failure prints ONE parseable JSON line with ``value: null``
+and the error, exiting 0 — the driver always gets a JSON line.
 """
 
 import glob
@@ -37,9 +45,10 @@ REF_DEMO = "/root/reference/data/demo"
 def _real_batch(batch: int, bh: int, bw: int):
     """(batch, bh, bw, 3) uint8 real-content images + per-image im_info.
 
-    Reference demo photographs (when the reference tree exists) cycled
-    first, then seeded synthetic scene-text renders fill the remainder —
-    deterministic, and every frame contains actual text.
+    Even slots take reference demo photographs cycled (when the reference
+    tree exists); odd slots take seeded synthetic scene-text renders —
+    deterministic, every frame contains actual text, and the mix keeps
+    per-frame proposal statistics varied at any batch size.
     """
     from ctpn_tpu.data.synth import render_image
     from ctpn_tpu.utils.image import load_image_bgr, prep_image
@@ -53,8 +62,8 @@ def _real_batch(batch: int, bh: int, bw: int):
     rng = np.random.RandomState(11)
     images, infos = [], []
     for i in range(batch):
-        if i < len(sources):
-            im = sources[i]
+        if sources and i % 2 == 0:
+            im = sources[(i // 2) % len(sources)]
         else:
             arr, _ = render_image(rng, width=900, height=600)
             im = arr[..., ::-1]  # RGB -> BGR
@@ -89,6 +98,14 @@ def _time_detect(detect, params, images, infos, iters):
 
 def main():
     import jax
+
+    # testing hook: a sitecustomize module on this machine force-registers
+    # the TPU tunnel platform even over JAX_PLATFORMS=cpu; pin it back
+    # before any backend initializes (same trick as tests/conftest.py)
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     import jax.numpy as jnp
 
     from ctpn_tpu.inference.pipeline import build_detect_fn
@@ -135,7 +152,7 @@ def main():
     )
     target_per_chip = 1000.0 / 8.0
     line = {
-        "metric": "ctpn_e2e_inference_throughput_600x900",
+        "metric": METRIC,
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(per_chip / target_per_chip, 4),
@@ -152,5 +169,73 @@ def main():
     )
 
 
+METRIC = "ctpn_e2e_inference_throughput_600x900"
+
+
+def _supervise() -> int:
+    """Run the measurement in a child process with bounded retries.
+
+    A fresh process per attempt sidesteps any poisoned in-process JAX
+    backend cache after a tunnel failure. Success = the child printed a
+    JSON object line with a "metric" key; that line is relayed verbatim.
+    After the retries are exhausted (or the child hangs past the
+    per-attempt timeout), print one JSON line with value null + the error
+    and exit 0 so the driver always parses something.
+    """
+    import subprocess
+
+    attempts = max(1, int(os.environ.get("BENCH_RETRIES", "3")))
+    backoff = float(os.environ.get("BENCH_BACKOFF_S", "30"))
+    child_timeout = float(os.environ.get("BENCH_CHILD_TIMEOUT_S", "1800"))
+    env = dict(os.environ, CTPN_BENCH_CHILD="1")
+    last_err = "no attempts ran"
+    for attempt in range(attempts):
+        if attempt:
+            print(
+                f"# bench attempt {attempt} failed; retrying in {backoff:.0f}s:"
+                f" {last_err[-300:]}",
+                file=sys.stderr,
+            )
+            time.sleep(backoff)
+        try:
+            proc = subprocess.run(
+                [sys.executable, osp.abspath(__file__)],
+                capture_output=True,
+                text=True,
+                env=env,
+                timeout=child_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"child timed out after {child_timeout:.0f}s"
+            continue
+        if proc.stderr:
+            sys.stderr.write(proc.stderr)
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                obj = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if isinstance(obj, dict) and "metric" in obj:
+                print(line)
+                return 0
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+        last_err = " | ".join(tail[-6:]) if tail else f"rc={proc.returncode}, no output"
+    print(
+        json.dumps(
+            {
+                "metric": METRIC,
+                "value": None,
+                "unit": "images/sec",
+                "vs_baseline": None,
+                "error": last_err[-600:],
+            }
+        )
+    )
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("CTPN_BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(_supervise())

@@ -85,10 +85,25 @@ def main(argv=None):
 
         shapes = None
         if args.frozen_shapes:
-            shapes = [
-                tuple(int(d) for d in s.split("x"))
-                for s in args.frozen_shapes.split(",")
-            ]
+            shapes = []
+            for s in args.frozen_shapes.split(","):
+                try:
+                    dims = tuple(int(d) for d in s.split("x"))
+                except ValueError:
+                    dims = ()
+                # fail HERE with a pointed message, not as an opaque
+                # unpack/trace error deep inside jax.export
+                if len(dims) != 3 or any(d <= 0 for d in dims):
+                    p.error(
+                        f"--frozen-shapes entry {s!r} must be NxHxW "
+                        "(three positive ints, e.g. 1x608x912)"
+                    )
+                if dims[1] % 16 or dims[2] % 16:
+                    p.error(
+                        f"--frozen-shapes entry {s!r}: H and W must be "
+                        "multiples of the 16-px stride"
+                    )
+                shapes.append(dims)
         out = export_frozen(params, args.out, shapes=shapes,
                             dp_devices=args.frozen_dp)
     elif args.out.endswith(".npz"):

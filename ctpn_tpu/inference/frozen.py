@@ -39,6 +39,30 @@ import numpy as np
 FORMAT = "ctpn-frozen-v1"
 ABI = ("rois", "roi_valid", "roi_count", "recs", "line_valid", "line_count")
 
+# jax.export records canonical StableHLO platform names ('cuda'/'rocm');
+# jax.default_backend() reports the PJRT family name ('gpu'). Normalize
+# both sides before comparing.
+_PLATFORM_ALIASES = {"cuda": "gpu", "rocm": "gpu"}
+# Proxy backends that register under their own PJRT name but compile and
+# execute TPU programs (single-chip tunnel used on this box). Explicit
+# allowlist — an unknown plugin name must NOT slip through to a confusing
+# deserialization failure.
+_TPU_TUNNEL_BACKENDS = frozenset({"axon"})
+
+
+def _canon_platform(name: str) -> str:
+    n = name.lower()
+    return _PLATFORM_ALIASES.get(n, n)
+
+
+def _backend_runs_platforms(backend: str, platforms) -> bool:
+    """True iff the runtime ``backend`` can execute one of ``platforms``."""
+    b = _canon_platform(backend)
+    plats = {_canon_platform(p) for p in platforms}
+    if b in plats:
+        return True
+    return "tpu" in plats and b in _TPU_TUNNEL_BACKENDS
+
 
 def is_frozen(path: str) -> bool:
     """True if ``path`` is a frozen artifact (vs a weights-only npz/dir)."""
@@ -172,16 +196,13 @@ class FrozenCTPN:
             }
         self._fns = {}
         backend = jax.default_backend()
-        plats = [p.lower() for p in self.meta.get("platforms") or []]
-        if plats and backend.lower() not in plats:
-            # tunnel backends register under their own name but execute TPU
-            # programs; only reject clear mismatches
-            if not ("tpu" in plats and backend.lower() not in ("cpu", "gpu")):
-                raise RuntimeError(
-                    f"artifact was exported for {plats}, runtime backend is "
-                    f"'{backend}' — re-export on this platform "
-                    "(cli/export_model.py --frozen)"
-                )
+        plats = self.meta.get("platforms") or []
+        if plats and not _backend_runs_platforms(backend, plats):
+            raise RuntimeError(
+                f"artifact was exported for {plats}, runtime backend is "
+                f"'{backend}' — re-export on this platform "
+                "(cli/export_model.py --frozen)"
+            )
 
     @property
     def shapes(self):

@@ -74,7 +74,7 @@ class MicroBatcher(threading.Thread):
         self.window_s = window_ms / 1e3
         self.queue: "queue_mod.Queue[_Pending]" = queue_mod.Queue()
         self._leftover: List[_Pending] = []  # other-bucket items, next round
-        self._stop = threading.Event()
+        self._stop_event = threading.Event()  # NOT named _stop: Thread.join() calls a private self._stop()
         self.batches_run = 0
         self.images_run = 0
         self.shed = 0  # expired-before-dispatch requests
@@ -93,9 +93,15 @@ class MicroBatcher(threading.Thread):
         self.queue.put(item)
 
     def stop(self) -> None:
-        self._stop.set()
+        self._stop_event.set()
         self.queue.put(None)  # unblock gather
-        self._done.put(None)  # unblock completer
+        # The completer sentinel must trail every dispatched batch: if it
+        # were enqueued here it could overtake a batch this thread's run()
+        # is about to _done.put(), and that batch's handlers would hang
+        # until request_timeout_s. run() puts the sentinel when it exits;
+        # only fall back to putting it here if the thread never started.
+        if not self.is_alive():
+            self._done.put(None)
 
     def _gather(self) -> List[_Pending]:
         # leftovers (other-bucket items from the previous round) seed this
@@ -134,11 +140,16 @@ class MicroBatcher(threading.Thread):
         return batch
 
     def run(self) -> None:  # pragma: no cover - exercised via the server
-        while not self._stop.is_set():
-            batch = self._gather()
-            if not batch:
-                continue
-            self._dispatch(batch)
+        try:
+            while not self._stop_event.is_set():
+                batch = self._gather()
+                if not batch:
+                    continue
+                self._dispatch(batch)
+        finally:
+            # dispatcher has exited: no further batches can be enqueued, so
+            # the sentinel is guaranteed to be the last _done entry
+            self._done.put(None)
 
     def _dispatch(self, batch: List[_Pending]) -> None:
         # shed requests whose client already gave up (504 sent): running

@@ -107,3 +107,20 @@ def test_full_cli_flow(tiny_env):
     sw2 = SolverWrapper(roidb, out_dir, data_parallel=False, batch_size=1)
     m = sw2.train_model(3, restore=True)
     assert m["step"] == 3
+
+
+def test_export_frozen_shapes_validation(tmp_path):
+    """Malformed --frozen-shapes entries fail as pointed argparse errors,
+    not opaque unpack/trace failures deep inside jax.export (ADVICE r3)."""
+    from ctpn_tpu.cli.export_model import main as export_main
+
+    for bad in ("608x912",         # 2 fields
+                "1x600x912",       # H not a stride multiple
+                "1x608x900",       # W not a stride multiple
+                "1x608x912x3",     # 4 fields
+                "axbxc",           # not ints
+                "0x608x912"):      # non-positive batch
+        with pytest.raises(SystemExit) as exc:
+            export_main(["--out", str(tmp_path / "x.npz"), "--frozen",
+                         "--frozen-shapes", bad])
+        assert exc.value.code == 2, bad

@@ -221,6 +221,47 @@ def test_platform_mismatch_rejected(frozen_env, tmp_path):
         FrozenCTPN(path)
 
 
+def test_platform_gate_is_an_explicit_allowlist():
+    """The gate accepts exactly: the exported platform (alias-normalized,
+    cuda/rocm == gpu) and known TPU tunnel backends for tpu artifacts. An
+    unknown plugin name must be rejected — not fall through to a confusing
+    deserialization error (round-3 weakness)."""
+    from ctpn_tpu.inference.frozen import _backend_runs_platforms
+
+    # exact and alias matches
+    assert _backend_runs_platforms("cpu", ["cpu"])
+    assert _backend_runs_platforms("tpu", ["tpu"])
+    assert _backend_runs_platforms("gpu", ["cuda"])  # ADVICE r3: cuda->gpu
+    assert _backend_runs_platforms("cuda", ["cuda"])
+    assert _backend_runs_platforms("gpu", ["rocm"])
+    # known tunnel alias executes tpu programs
+    assert _backend_runs_platforms("axon", ["tpu"])
+    # clear mismatches
+    assert not _backend_runs_platforms("cpu", ["tpu"])
+    assert not _backend_runs_platforms("tpu", ["cpu"])
+    assert not _backend_runs_platforms("gpu", ["tpu"])
+    # an unknown differently-named plugin must NOT slip through
+    assert not _backend_runs_platforms("neuron", ["tpu"])
+    assert not _backend_runs_platforms("myaccel", ["cuda"])
+
+
+def test_unknown_backend_name_rejected_at_load(frozen_env, tmp_path,
+                                               monkeypatch):
+    """Integration: a tpu-only artifact under a fake non-TPU plugin backend
+    fails at __init__ with the pointed re-export message."""
+    from ctpn_tpu.inference import frozen as frozen_mod
+
+    z = dict(np.load(frozen_env["path"]))
+    meta = json.loads(bytes(z["__meta__"]).decode())
+    meta["platforms"] = ["tpu"]
+    z["__meta__"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
+    path = str(tmp_path / "tpu_only_fakebackend.npz")
+    np.savez(path, **z)
+    monkeypatch.setattr(frozen_mod.jax, "default_backend", lambda: "myaccel")
+    with pytest.raises(RuntimeError, match="exported for"):
+        frozen_mod.FrozenCTPN(path)
+
+
 def test_dp_export_validates_batch_divisibility(frozen_env, tmp_path):
     from ctpn_tpu.inference.frozen import export_frozen
 
