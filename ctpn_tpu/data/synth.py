@@ -122,7 +122,63 @@ def _background(
                          width=rng.randint(1, 4))
         else:
             draw.line([x0, y0, x1, y1], fill=color, width=rng.randint(1, 5))
+    for _ in range(rng.randint(0, 3)):  # hard negatives (no ground truth)
+        _draw_textlike_distractor(draw, rng, width, height)
     return img
+
+
+def _draw_textlike_distractor(
+    draw: "ImageDraw.ImageDraw",
+    rng: np.random.RandomState,
+    width: int,
+    height: int,
+) -> None:
+    """Non-text pattern with text-LIKE local statistics (hard negative).
+
+    At the model's 16-px stride, rows of short high-contrast strokes —
+    barcodes, fences, brick courses, dotted leaders — look like text
+    strokes; these patterns carry NO ground truth, so the classifier must
+    learn to reject stroke texture that lacks glyph structure.
+    """
+    x0 = rng.randint(0, max(1, width - 120))
+    y0 = rng.randint(0, max(1, height - 60))
+    color = tuple(int(c) for c in rng.randint(0, 255, 3))
+    kind = rng.rand()
+    if kind < 0.35:  # barcode: dense vertical bars, text-height band
+        h = rng.randint(10, 40)
+        x = x0
+        for _ in range(rng.randint(15, 45)):
+            w = rng.randint(1, 4)
+            if x + w >= width:
+                break
+            if rng.rand() < 0.6:
+                draw.rectangle([x, y0, x + w, y0 + h], fill=color)
+            x += w + rng.randint(1, 3)
+    elif kind < 0.6:  # fence/comb: spaced vertical dashes in a row
+        h = rng.randint(8, 28)
+        step = rng.randint(6, 16)
+        for x in range(x0, min(width - 2, x0 + rng.randint(80, 300)), step):
+            draw.line([x, y0, x, y0 + h], fill=color,
+                      width=rng.randint(1, 3))
+    elif kind < 0.85:  # brick courses: stacked rows of short dashes
+        bw, bh = rng.randint(14, 40), rng.randint(6, 14)
+        rows = rng.randint(2, 5)
+        for r in range(rows):
+            y = y0 + r * (bh + 2)
+            if y + bh >= height:
+                break
+            off = (bw // 2) if r % 2 else 0
+            for x in range(x0 + off,
+                           min(width - 2, x0 + rng.randint(60, 260)),
+                           bw + 3):
+                draw.line([x, y + bh, x + bw, y + bh], fill=color,
+                          width=rng.randint(1, 2))
+                draw.line([x, y, x, y + bh], fill=color, width=1)
+    else:  # dotted leader line (table-of-contents style)
+        y = y0
+        for x in range(x0, min(width - 3, x0 + rng.randint(100, 400)),
+                       rng.randint(5, 10)):
+            draw.ellipse([x, y, x + 2, y + 2], fill=color)
 
 
 def _mean_color(img: Image.Image, box) -> np.ndarray:
@@ -333,7 +389,12 @@ def render_image(
 
     if rng.rand() < 0.25:
         img = img.filter(ImageFilter.GaussianBlur(rng.uniform(0.4, 1.2)))
-    return np.asarray(img), polys
+    arr = np.asarray(img).astype(np.float32)
+    if rng.rand() < 0.35:  # photometric jitter: global contrast/brightness
+        gain = rng.uniform(0.7, 1.25)
+        bias = rng.uniform(-25, 25)
+        arr = arr * gain + bias
+    return arr.clip(0, 255).astype(np.uint8), polys
 
 
 def generate_dataset(
