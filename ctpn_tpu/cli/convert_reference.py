@@ -89,8 +89,10 @@ def main(argv=None):
         print("  ", k, tf_vars[k].shape)
 
     model = get_network("VGGnet_test")
+    # init only provides the param-tree skeleton convert_tf_vars fills in;
+    # parameter shapes are spatial-size-independent, so init small
     params = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 608, 608, 3), jnp.float32)
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 80, 3), jnp.float32)
     )["params"]
     params = convert_tf_vars(params, tf_vars)
     out = export_params(params, args.out)

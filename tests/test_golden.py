@@ -24,7 +24,8 @@ REF_RESULTS = "/root/reference/data/results"
 ARTIFACT = os.environ.get("CTPN_ARTIFACT")
 
 pytestmark = pytest.mark.skipif(
-    not (ARTIFACT and osp.isdir(ARTIFACT) and osp.isdir(REF_DEMO)),
+    # orbax dir or params .npz — both load via utils/weights.load_params
+    not (ARTIFACT and osp.exists(ARTIFACT) and osp.isdir(REF_DEMO)),
     reason="set CTPN_ARTIFACT to a converted reference checkpoint",
 )
 

@@ -24,10 +24,14 @@ ARTIFACT = osp.join(
 REF_DEMO = "/root/reference/data/demo"
 DEMO_IMAGE = osp.join(REF_DEMO, "010.png")  # smallest: one program bucket
 
-# default: half-scale bucket (4x less conv math on CPU; the weights still
-# detect and the device/host agreement property is scale-independent).
-# CTPN_FULL_TESTS=1 runs the full 600-scale bucket the demo contract uses.
-FULL = os.environ.get("CTPN_FULL_TESTS") == "1"
+# DEFAULT: the full 600-scale bucket the demo contract uses
+# (`ctpn/demo.py:59-60` geometry) — the big NMS program (12k pre-NMS
+# candidates) and multi-round connector closures are exactly where masking
+# bugs would hide, so they run in the default suite (VERDICT r3 #3). First
+# CPU compile of the 608-bucket program costs ~3 min; the persistent XLA
+# cache (conftest) makes every rerun cheap. CTPN_FAST_TESTS=1 opts down to
+# the half-scale bucket (e.g. for cache-cold one-off runs).
+FULL = os.environ.get("CTPN_FAST_TESTS") != "1"
 
 pytestmark = pytest.mark.skipif(
     not osp.exists(ARTIFACT),
@@ -76,7 +80,13 @@ def _image():
     return arr[..., ::-1].copy()  # RGB -> BGR
 
 def test_device_and_host_paths_agree_on_real_image(predictor):
+    from ctpn_tpu.config import cfg
+
     im = _image()
+    if FULL:
+        # demo-contract geometry must actually be in force: 600/1200 double
+        # resize and the full 12k-candidate pre-NMS sort
+        assert cfg.TEXT.SCALE == 600 and cfg.TEST.RPN_PRE_NMS_TOP_N == 12000
     dev = predictor.detect_image(im)
     host = predictor.detect_image_host(im)
 
