@@ -113,6 +113,14 @@ def main():
     from ctpn_tpu.utils.compilation import ensure_compilation_cache
     from ctpn_tpu.utils.weights import load_params
 
+    # A/B hook: space-separated KEY VALUE pairs applied to the global cfg
+    # (e.g. BENCH_CFG_SET="TPU.PACKED_STEM False" to time the stock stem)
+    sets = os.environ.get("BENCH_CFG_SET")
+    if sets:
+        from ctpn_tpu.config import cfg_from_list
+
+        cfg_from_list(sets.split())
+
     ensure_compilation_cache()
 
     n_dev = jax.device_count()

@@ -188,6 +188,11 @@ def _default_cfg() -> AttrDict:
     # only). Default off: slower than XLA on DMA-limited backends — see
     # docs/PERFORMANCE.md "Fused-stem kernel post-mortem"
     p.FUSED_STEM = False
+    # batch-packed VGG block 1 (inference graphs, even batches): two images
+    # share the channel dim through block-diagonal weights, halving the HBM
+    # bytes of the half-lane 64-channel stage. Exact to bf16 accumulation
+    # order; measured 1.06x on stage 1 (docs/PERFORMANCE.md round 4).
+    p.PACKED_STEM = False
     p.MESH_AXIS = "data"  # data-parallel mesh axis name
     p.PREFETCH_DEPTH = 2  # host->device pipeline depth
     p.REMAT = False  # rematerialize the backbone in the backward pass

@@ -47,6 +47,7 @@ class CTPN(nn.Module):
     trunk_stages: Any = None
     rpn_channels: int = 512
     fused_stem: bool = False  # route VGG block 1 through ops/stem_pallas.py
+    packed_stem: bool = False  # batch-packed VGG block 1 (even batches)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> CTPNOutputs:
@@ -55,6 +56,7 @@ class CTPN(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             fused_stem=self.fused_stem,
+            packed_stem=self.packed_stem,
         )
         if self.trunk_stages is not None:
             trunk_kw["stages"] = self.trunk_stages

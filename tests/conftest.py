@@ -28,6 +28,21 @@ from ctpn_tpu.utils.compilation import ensure_compilation_cache  # noqa: E402
 
 ensure_compilation_cache(min_compile_secs=0.0)
 
+# build the native host library if missing so its parity tests run instead
+# of silently skipping (a toolchain-less box still skips gracefully)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if not os.path.exists(os.path.join(_REPO, "native", "libctpn_host.so")):
+    import shutil
+    import subprocess
+
+    if shutil.which("make") and shutil.which("g++"):
+        subprocess.run(
+            ["make", "-C", os.path.join(_REPO, "native")],
+            capture_output=True,
+            timeout=120,
+            check=False,
+        )
+
 
 @pytest.fixture
 def rng():

@@ -97,3 +97,74 @@ def test_fused_stem_model_shares_param_tree(rng):
     np.testing.assert_allclose(
         np.asarray(o0.cls_prob), np.asarray(o1.cls_prob), atol=5e-3
     )
+
+
+class TestPackedStem:
+    """Batch-packed block 1 (block-diagonal weights, VGG16Trunk.packed_stem).
+
+    Packing two images into the channel dim must be EXACT in f32 — the zero
+    blocks kill every cross-image term — and share the stock param tree so
+    any checkpoint loads either path.
+    """
+
+    _stages = ((1, 2, 8), (2, 2, 16), (3, 1, 16), (4, 1, 16), (5, 1, 16))
+
+    def _models(self):
+        from ctpn_tpu.models.ctpn import CTPN
+
+        kw = dict(dtype=jnp.float32, trunk_stages=self._stages)
+        return CTPN(**kw), CTPN(packed_stem=True, **kw)
+
+    def test_exact_in_f32_even_batch(self, rng):
+        stock, packed = self._models()
+        x = jnp.asarray(rng.randn(4, 64, 80, 3).astype(np.float32) * 50)
+        params = stock.init(jax.random.PRNGKey(0), x)
+        o0, o1 = stock.apply(params, x), packed.apply(params, x)
+        for a, b in zip(o0, o1):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            )
+
+    def test_odd_batch_falls_back_to_stock(self, rng):
+        stock, packed = self._models()
+        x = jnp.asarray(rng.randn(3, 64, 80, 3).astype(np.float32) * 50)
+        params = stock.init(jax.random.PRNGKey(0), x)
+        o0, o1 = stock.apply(params, x), packed.apply(params, x)
+        for a, b in zip(o0, o1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_shares_param_tree(self, rng):
+        stock, packed = self._models()
+        x = jnp.asarray(rng.randn(2, 64, 80, 3).astype(np.float32))
+        p0 = stock.init(jax.random.PRNGKey(0), x)["params"]
+        p1 = packed.init(jax.random.PRNGKey(0), x)["params"]
+        assert (
+            jax.tree_util.tree_structure(p0)
+            == jax.tree_util.tree_structure(p1)
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_exclusive_with_fused_stem(self, rng):
+        from ctpn_tpu.models.vgg import VGG16Trunk
+
+        x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+        m = VGG16Trunk(fused_stem=True, packed_stem=True)
+        with pytest.raises(ValueError, match="exclusive"):
+            m.init(jax.random.PRNGKey(0), x)
+
+    def test_factory_gates_packed_stem_to_test_graph(self):
+        from ctpn_tpu.config import cfg
+        from ctpn_tpu.models.factory import get_network
+
+        old = cfg.TPU.PACKED_STEM
+        try:
+            cfg.TPU.PACKED_STEM = True
+            assert get_network("VGGnet_test").packed_stem
+            assert not get_network("VGGnet_train").packed_stem
+            cfg.TPU.PACKED_STEM = False
+            assert not get_network("VGGnet_test").packed_stem
+        finally:
+            cfg.TPU.PACKED_STEM = old
