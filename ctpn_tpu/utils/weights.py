@@ -59,7 +59,20 @@ def load_pretrained_into(params, npy_path: str, ignore_missing: bool = True):
     The .npy holds ``{layer: {"weights": w, "biases": b}}`` with HWIO conv
     kernels. Layers that do not exist in the model (fc6/fc7/fc8 classifier
     heads) are skipped, mirroring ``ignore_missing=True``.
+
+    An exported inference artifact (``.npz`` file or orbax directory, see
+    :func:`load_params`) is also accepted: its leaves share this model's
+    pytree paths, so the overlay is exact — used to fine-tune from a
+    previously shipped artifact instead of the ImageNet bootstrap.
     """
+    if npy_path.endswith(".npz") or osp.isdir(npy_path):
+        donor = load_params(npy_path)
+        target = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
+        for key, value in _flatten(donor):
+            if not _set_in(target, tuple(key.split("/")), value):
+                if not ignore_missing:
+                    raise KeyError(f"artifact leaf {key} not found in model")
+        return jax.tree_util.tree_map(jax.numpy.asarray, target)
     params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
     params = jax.device_get(params)
     params = jax.tree_util.tree_map(np.asarray, params)

@@ -34,6 +34,11 @@ def main():
     p.add_argument("--no-dp", action="store_true")
     p.add_argument("--restore", action="store_true",
                    help="resume training from the newest orbax snapshot")
+    p.add_argument("--init-artifact", default=None,
+                   help="initialize params from an exported inference "
+                        "artifact (.npz or orbax dir) before training — "
+                        "fine-tune from shipped weights instead of from "
+                        "scratch (ignored once --restore finds a snapshot)")
     p.add_argument("--train-only", action="store_true",
                    help="skip export + holdout eval (segment of a longer run)")
     p.add_argument("--segment-iters", type=int, default=None,
@@ -139,6 +144,7 @@ def main():
     metrics = train_net(
         roidb, out_dir, max_iters=args.iters, restore=args.restore,
         data_parallel=not args.no_dp, batch_size=args.batch,
+        pretrained_model=args.init_artifact,
     )
     print("final:", json.dumps(metrics), flush=True)
     if args.train_only:

@@ -145,3 +145,29 @@ def test_npz_export_rejects_f16_overflow(tmp_path):
     params = {"conv": {"kernel": np.array([1.0, 7e4], np.float32)}}
     with pytest.raises(ValueError, match="non-finite"):
         export_params_npz(params, str(tmp_path / "bad.npz"))
+
+
+def test_artifact_init_for_finetune(tmp_path, rng):
+    """load_pretrained_into accepts an exported artifact (.npz or orbax dir)
+    and overlays every leaf exactly — the fine-tune-from-shipped-weights
+    bootstrap (scripts/train_synth.py --init-artifact)."""
+    from ctpn_tpu.utils.weights import export_params_npz
+
+    model = CTPN(trunk_stages=((1, 1, 8), (2, 1, 8), (3, 1, 8),
+                               (4, 1, 8), (5, 1, 8)),
+                 lstm_hidden=8, rpn_channels=16)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    donor = model.init(jax.random.PRNGKey(1), x)["params"]
+    fresh = model.init(jax.random.PRNGKey(2), x)["params"]
+
+    npz = export_params_npz(donor, str(tmp_path / "donor.npz"))
+    orbax_dir = export_params(donor, str(tmp_path / "donor_orbax"))
+
+    for artifact, tol in ((npz, 1e-3), (orbax_dir, 0.0)):
+        out = load_pretrained_into(fresh, artifact)
+        assert (jax.tree_util.tree_structure(out)
+                == jax.tree_util.tree_structure(donor))
+        for a, b in zip(jax.tree_util.tree_leaves(out),
+                        jax.tree_util.tree_leaves(donor)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=tol, atol=tol)
