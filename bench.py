@@ -73,6 +73,19 @@ def _real_batch(batch: int, bh: int, bw: int):
     return np.stack(images), np.stack(infos)
 
 
+def _artifact_fingerprint() -> str:
+    """Provenance of the weights behind the headline number: short content
+    hash of the committed artifact, so an artifact swap between rounds is
+    visible in BENCH_r*.json instead of silently moving the measurement."""
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(ARTIFACT, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return f"ctpn_synth_f16.npz:{h.hexdigest()[:12]}"
+
+
 def _noise_batch(batch: int, bh: int, bw: int):
     rng = np.random.RandomState(0)
     images = rng.randint(0, 256, (batch, bh, bw, 3)).astype(np.uint8)
@@ -168,6 +181,7 @@ def main():
     }
     if content == "real":
         line["noise_imgs_per_sec"] = round(results["noise"], 2)
+        line["artifact"] = _artifact_fingerprint()
     print(json.dumps(line))
     print(
         f"# backend={backend} devices={n_dev} batch={batch} iters={iters} "

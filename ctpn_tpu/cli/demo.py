@@ -73,10 +73,19 @@ def main(argv=None):
         help="frozen artifact (.npz from export_model.py --frozen) — the "
         "demo_pb.py flow: run serialized programs without building the model",
     )
+    p.add_argument(
+        "--set", dest="set_cfg", nargs="*", default=None, metavar="KEY VALUE",
+        help="config overrides, e.g. --set TEXT.LINE_MERGE_GAP_RATIO 0 "
+        "for reference-exact raw connector output",
+    )
     args = p.parse_args(argv)
 
     if args.cfg:
         cfg_from_file(args.cfg)
+    if args.set_cfg:
+        from ctpn_tpu.config import cfg_from_list
+
+        cfg_from_list(args.set_cfg)
     if args.mode:
         cfg.TEST.DETECT_MODE = args.mode
 

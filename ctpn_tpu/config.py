@@ -166,6 +166,15 @@ def _default_cfg() -> AttrDict:
     x.TEXT_PROPOSALS_NMS_THRESH = 0.2
     x.MIN_V_OVERLAPS = 0.7
     x.MIN_SIZE_SIM = 0.7
+    # scale-aware line-union pass over the FINAL line records (new; no
+    # reference equivalent — postprocess/merge.py). Joins lines whose
+    # horizontal gap is <= ratio x the smaller line's height; a scale-free
+    # generalization of MAX_HORIZONTAL_GAP that keeps display-size text in
+    # one record. 0 disables (reference-exact output; the golden-parity
+    # gate pins it to 0). Measured on the reference demo set vs
+    # data/results: F 0.74 -> 0.90 @ IoU 0.3 (docs/TRAINING.md round 5).
+    x.LINE_MERGE_GAP_RATIO = 1.25
+    x.LINE_MERGE_MIN_V_OVERLAP = 0.5
     c.TEXT = x
 
     # ---- TPU build knobs (new; no reference equivalent) ----

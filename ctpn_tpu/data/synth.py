@@ -124,6 +124,8 @@ def _background(
             draw.line([x0, y0, x1, y1], fill=color, width=rng.randint(1, 5))
     for _ in range(rng.randint(0, 3)):  # hard negatives (no ground truth)
         _draw_textlike_distractor(draw, rng, width, height)
+    for _ in range(rng.randint(0, 3)):  # photographic clutter (round 5)
+        _draw_photo_clutter(draw, rng, width, height)
     return img
 
 
@@ -179,6 +181,65 @@ def _draw_textlike_distractor(
         for x in range(x0, min(width - 3, x0 + rng.randint(100, 400)),
                        rng.randint(5, 10)):
             draw.ellipse([x, y, x + 2, y + 2], fill=color)
+
+
+def _draw_photo_clutter(
+    draw: "ImageDraw.ImageDraw",
+    rng: np.random.RandomState,
+    width: int,
+    height: int,
+) -> None:
+    """Photographic non-text clutter (hard negative, no ground truth).
+
+    Targets the false-positive classes measured on the reference demo
+    photos in round 5 (docs/TRAINING.md): weathered signage reads as text
+    to a corpus-trained classifier — rows of bolt/rivet heads, rust
+    streaks and stains along sign edges, and overhead wires all produce
+    short high-contrast horizontal structure at the 16-px stride. None of
+    these carry ground truth, so the classifier must learn to reject them.
+    """
+    kind = rng.rand()
+    if kind < 0.35:  # rivet/bolt row: dark discs with an offset highlight
+        n = rng.randint(2, 8)
+        r = rng.randint(4, 14)
+        x = rng.randint(0, max(1, width - n * 4 * r))
+        y = rng.randint(0, max(1, height - 2 * r))
+        step = rng.randint(int(2.5 * r), 6 * r)
+        shade = int(rng.randint(15, 80))
+        for _ in range(n):
+            if x + 2 * r >= width:
+                break
+            draw.ellipse([x, y, x + 2 * r, y + 2 * r],
+                         fill=(shade, shade, shade))
+            hl = int(min(255, shade + rng.randint(60, 140)))
+            draw.ellipse(
+                [x + r // 2, y + r // 3, x + r, y + (2 * r) // 3],
+                fill=(hl, hl, hl),
+            )
+            x += step
+    elif kind < 0.75:  # rust streak / stain band: overlapping earth blobs
+        cx = rng.randint(0, width)
+        cy = rng.randint(0, height)
+        horiz = rng.rand() < 0.7  # streaks hug sign edges -> mostly bands
+        spread_x = rng.randint(40, 260) if horiz else rng.randint(10, 50)
+        spread_y = rng.randint(6, 30) if horiz else rng.randint(40, 160)
+        base = np.array([rng.randint(90, 180), rng.randint(45, 110),
+                         rng.randint(10, 60)])
+        for _ in range(rng.randint(6, 22)):
+            bx = cx + int(rng.randn() * spread_x * 0.5)
+            by = cy + int(rng.randn() * spread_y * 0.5)
+            bw = rng.randint(3, max(4, spread_x // 3))
+            bh = rng.randint(2, max(3, spread_y))
+            c = (base + rng.randint(-30, 30, 3)).clip(0, 255)
+            draw.ellipse([bx, by, bx + bw, by + bh],
+                         fill=tuple(int(v) for v in c))
+    else:  # overhead wires: long thin near-horizontal lines
+        for _ in range(rng.randint(1, 4)):
+            y0 = rng.randint(0, height)
+            y1 = y0 + rng.randint(-height // 4, height // 4)
+            shade = int(rng.randint(10, 90))
+            draw.line([0, y0, width, y1], fill=(shade, shade, shade),
+                      width=rng.randint(1, 3))
 
 
 def _mean_color(img: Image.Image, box) -> np.ndarray:

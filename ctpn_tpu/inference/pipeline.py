@@ -29,10 +29,14 @@ from ctpn_tpu.utils.image import load_image_bgr, prep_image, resize_im
 
 
 def unscale_records(recs: np.ndarray, count: int, f1: float, info) -> np.ndarray:
-    """Trim padded line records and map boxes back to ORIGINAL image coords
-    (the demo's double-resize contract, `demo.py:47-51`). Shared by the
-    single-image, streaming, and serving paths."""
+    """Trim padded line records, apply the (config-gated) scale-aware
+    line-union pass, and map boxes back to ORIGINAL image coords (the
+    demo's double-resize contract, `demo.py:47-51`). Shared by the
+    single-image, streaming, serving, and frozen-artifact paths."""
+    from ctpn_tpu.postprocess.merge import maybe_merge_line_records
+
     out = np.asarray(recs)[:count].astype(np.float64)
+    out = maybe_merge_line_records(out)
     total_scale = f1 * float(info[2])
     if len(out):
         out[:, :8] /= total_scale
@@ -202,6 +206,9 @@ class CTPNPredictor:
             info,
             mode=self.mode,
         ).astype(np.float64)
+        from ctpn_tpu.postprocess.merge import maybe_merge_line_records
+
+        recs = maybe_merge_line_records(recs)
         total_scale = f1 * float(info[2])
         if len(recs):
             recs[:, :8] /= total_scale

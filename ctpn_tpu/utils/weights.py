@@ -68,10 +68,20 @@ def load_pretrained_into(params, npy_path: str, ignore_missing: bool = True):
     if npy_path.endswith(".npz") or osp.isdir(npy_path):
         donor = load_params(npy_path)
         target = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
+        applied = 0
         for key, value in _flatten(donor):
-            if not _set_in(target, tuple(key.split("/")), value):
-                if not ignore_missing:
-                    raise KeyError(f"artifact leaf {key} not found in model")
+            if _set_in(target, tuple(key.split("/")), value):
+                applied += 1
+            elif not ignore_missing:
+                raise KeyError(f"artifact leaf {key} not found in model")
+        if applied == 0:
+            # Mirror the npy path's "no layers loaded" guard: a structurally
+            # mismatched donor must not silently leave the model at random
+            # init when the user explicitly asked to fine-tune from it.
+            raise ValueError(
+                f"artifact {npy_path} applied zero leaves to the model pytree "
+                "(structure mismatch?)"
+            )
         return jax.tree_util.tree_map(jax.numpy.asarray, target)
     params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
     params = jax.device_get(params)

@@ -41,6 +41,11 @@ def test_device_vs_host_postprocess(small_env, rng):
 
     im = rng.randint(0, 255, (96, 128, 3)).astype(np.uint8)
 
+    # raw connector semantics on both sides: this test compares the host
+    # oracle against the device program's UNMERGED lines.recs, so the
+    # line-union stage must not rewrite the host records (conftest resets)
+    cfg.TEXT.LINE_MERGE_GAP_RATIO = 0.0
+
     # host path: forward on device, decode on host
     host_recs = predictor.detect_image_host(im)
 

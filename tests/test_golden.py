@@ -31,10 +31,15 @@ pytestmark = pytest.mark.skipif(
 
 
 def _run_demo_to_dir(out_dir, mode: str):
+    from ctpn_tpu.config import cfg
     from ctpn_tpu.inference.pipeline import CTPNPredictor
     from ctpn_tpu.utils.image import load_image_bgr
     from ctpn_tpu.utils.weights import load_params
 
+    # reference-exact output: the goldens are the reference connector's raw
+    # lines; the scale-aware line-union stage must be off for this gate
+    # (postprocess/merge.py docstring). conftest's _fresh_cfg restores it.
+    cfg.TEXT.LINE_MERGE_GAP_RATIO = 0.0
     predictor = CTPNPredictor(load_params(ARTIFACT), mode=mode)
     paths = sorted(
         sum((glob.glob(osp.join(REF_DEMO, e)) for e in ("*.jpg", "*.png")), [])
