@@ -12,9 +12,9 @@ regression fails the suite instead of only degrading a doc.
 Round-5 measurements these floors are set ~10-15% under (docs/TRAINING.md
 round 5; vs `/root/reference/data/results`):
 
-  H: P 0.882 / R 0.938 / F 0.909 @ IoU 0.3;  F 0.828 @ 0.5;  51 boxes
-     008.jpg: 21 boxes, 21 matched @ 0.3, 19 @ 0.5 (23 golden)
-  O: P 0.863 / R 0.917 / F 0.889 @ IoU 0.3 (axis-aligned hulls); 51 boxes
+  H: P 0.935 / R 0.896 / F 0.915 @ IoU 0.3;  F 0.851 @ 0.5;  46 boxes
+     008.jpg: 20 boxes, 20 matched @ 0.3, 18 @ 0.5 (23 golden)
+  O: identical summary (P 0.935 / R 0.896 / F 0.915 on hulls); 46 boxes
      008.jpg: 20 boxes, 20 matched @ 0.3
 
 The precision floors are the round-5 addition (VERDICT r4): an artifact
@@ -103,29 +103,30 @@ def _prf(demo_boxes, iou):
 
 
 def test_h_recall_floor(demo_boxes):
-    """H recall >= 0.85 @ IoU 0.3 (measured 0.938)."""
+    """H recall >= 0.85 @ IoU 0.3 (measured 0.896; 48 golden boxes, so
+    each missed line costs ~0.021 — the floor allows two)."""
     _, recall, _ = _prf(demo_boxes, 0.3)
     assert recall >= 0.85, f"recall {recall:.3f}"
 
 
 def test_h_precision_floor(demo_boxes):
-    """H precision >= 0.75 @ IoU 0.3 (measured 0.882). Catches both a
+    """H precision >= 0.82 @ IoU 0.3 (measured 0.935). Catches both a
     box-spraying artifact regression and a disabled line-union stage."""
     precision, _, _ = _prf(demo_boxes, 0.3)
-    assert precision >= 0.75, f"precision {precision:.3f}"
+    assert precision >= 0.82, f"precision {precision:.3f}"
 
 
 def test_h_f_measure_floor(demo_boxes):
-    """H F >= 0.82 @ 0.3 and >= 0.72 @ 0.5 (measured 0.909 / 0.828)."""
+    """H F >= 0.84 @ 0.3 and >= 0.77 @ 0.5 (measured 0.915 / 0.851)."""
     _, _, f3 = _prf(demo_boxes, 0.3)
     _, _, f5 = _prf(demo_boxes, 0.5)
-    assert f3 >= 0.82, f"F@0.3 {f3:.3f}"
-    assert f5 >= 0.72, f"F@0.5 {f5:.3f}"
+    assert f3 >= 0.84, f"F@0.3 {f3:.3f}"
+    assert f5 >= 0.77, f"F@0.5 {f5:.3f}"
 
 
 def test_h_per_image_box_budget(demo_boxes):
     """No image may emit more than 2x its golden count + 3 boxes
-    (round-5 measured worst case: 007 with 9 vs 5 golden). A per-image
+    (round-5 measured worst case: 007 with 8 vs 5 golden). A per-image
     budget localizes a fragmentation/spray regression the aggregate
     precision floor would smear across images."""
     for stem, cand in demo_boxes.items():
@@ -137,7 +138,7 @@ def test_h_per_image_box_budget(demo_boxes):
 
 def test_dense_cjk_008_line_coverage(demo_boxes):
     """008.jpg (dense ideograph label, EXIF-rotated): near-golden line
-    coverage must persist (measured 21 boxes / 19 matched @ IoU 0.5 vs 23
+    coverage must persist (measured 20 boxes / 18 matched @ IoU 0.5 vs 23
     golden). A near-empty result here is the signature of the EXIF-
     orientation regression or a corpus regression (no glyph-textured
     training data)."""
@@ -164,15 +165,15 @@ def test_every_demo_image_detects_text(demo_boxes):
 
 
 def test_o_recall_floor(demo_boxes_o):
-    """O hull recall >= 0.85 @ IoU 0.3 (measured 0.917)."""
+    """O hull recall >= 0.85 @ IoU 0.3 (measured 0.896)."""
     _, recall, _ = _prf(demo_boxes_o, 0.3)
     assert recall >= 0.85, f"recall {recall:.3f}"
 
 
 def test_o_precision_and_budget(demo_boxes_o):
-    """O precision >= 0.72 @ 0.3 (measured 0.863) + per-image budget."""
+    """O precision >= 0.80 @ 0.3 (measured 0.935) + per-image budget."""
     precision, _, _ = _prf(demo_boxes_o, 0.3)
-    assert precision >= 0.72, f"precision {precision:.3f}"
+    assert precision >= 0.80, f"precision {precision:.3f}"
     for stem, cand in demo_boxes_o.items():
         budget = 2 * len(_golden(stem)) + 3
         assert len(cand) <= budget, (
