@@ -241,7 +241,13 @@ def _supervise() -> int:
                 print(line)
                 return 0
         tail = (proc.stderr or proc.stdout or "").strip().splitlines()
-        last_err = " | ".join(tail[-6:]) if tail else f"rc={proc.returncode}, no output"
+        # prefer lines that look like actual error text over traceback
+        # scaffolding/ASCII art (an HBM OOM's message sits mid-trace)
+        salient = [l for l in tail if any(
+            k in l for k in ("Error", "ERROR", "error:", "INTERNAL",
+                             "RESOURCE", "Ran out of memory"))]
+        pick = (salient or tail)[-6:]
+        last_err = " | ".join(pick) if pick else f"rc={proc.returncode}, no output"
     print(
         json.dumps(
             {
