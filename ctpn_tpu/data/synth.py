@@ -223,8 +223,10 @@ def _draw_photo_clutter(
         horiz = rng.rand() < 0.7  # streaks hug sign edges -> mostly bands
         spread_x = rng.randint(40, 260) if horiz else rng.randint(10, 50)
         spread_y = rng.randint(6, 30) if horiz else rng.randint(40, 160)
-        base = np.array([rng.randint(90, 180), rng.randint(45, 110),
-                         rng.randint(10, 60)])
+        # darker reds/browns only: pale-yellow tones are reserved for the
+        # positive class (low-contrast signage paint, _text_fill)
+        base = np.array([rng.randint(70, 140), rng.randint(30, 80),
+                         rng.randint(5, 45)])
         for _ in range(rng.randint(6, 22)):
             bx = cx + int(rng.randn() * spread_x * 0.5)
             by = cy + int(rng.randn() * spread_y * 0.5)
@@ -254,9 +256,18 @@ def _mean_color(img: Image.Image, box) -> np.ndarray:
 def _text_fill(
     rng: np.random.RandomState, bg_mean: np.ndarray
 ) -> Tuple[int, int, int]:
-    """Contrast against the local background; 20% low-contrast cases."""
+    """Contrast against the local background; 20% low-contrast cases,
+    of which some are PALE-WARM tints (cream/yellow signage paint on
+    mid-tone scenes — the round-5 rust-stain negatives share that hue
+    band, so the positive class must cover it or the classifier learns
+    color, not glyph structure; docs/TRAINING.md round 5)."""
     bright_bg = bg_mean.mean() > 127
     lo_contrast = rng.rand() < 0.2
+    if lo_contrast and not bright_bg and rng.rand() < 0.5:
+        # pale warm tint, modestly brighter than the mid/dark background
+        base = int(min(235, bg_mean.mean() + rng.randint(45, 90)))
+        return (base, int(base - rng.randint(5, 25)),
+                max(0, int(base - rng.randint(50, 110))))
     if bright_bg:
         lo, hi = (60, 130) if lo_contrast else (0, 70)
     else:

@@ -9,13 +9,16 @@ ctpn_synth_f16.npz`) through the default demo surface (scale-aware
 line-union pass ON — postprocess/merge.py), so a corpus/training/EXIF/merge
 regression fails the suite instead of only degrading a doc.
 
-Round-5 measurements these floors are set ~10-15% under (docs/TRAINING.md
-round 5; vs `/root/reference/data/results`):
+Round-5b measurements these floors are set ~5-10% under (docs/TRAINING.md
+round 5; vs `/root/reference/data/results`; identical on TPU and CPU
+numerics):
 
-  H: P 0.935 / R 0.896 / F 0.915 @ IoU 0.3;  F 0.851 @ 0.5;  46 boxes
-     008.jpg: 20 boxes, 20 matched @ 0.3, 18 @ 0.5 (23 golden)
-  O: identical summary (P 0.935 / R 0.896 / F 0.915 on hulls); 46 boxes
-     008.jpg: 20 boxes, 20 matched @ 0.3
+  H: P 0.957 / R 0.938 / F 0.947 @ IoU 0.3;  F 0.884 @ 0.5;  47 boxes
+     008.jpg: 21 boxes, 21 matched @ 0.3, 19 @ 0.5 (23 golden)
+     009.jpg: 5 boxes, 5/5 golden matched @ both IoUs (the low-contrast
+     line recovered by the round-5b pale-warm corpus fine-tune)
+  O: identical summary (P 0.957 / R 0.938 / F 0.947 on hulls); 47 boxes
+     008.jpg: 21 boxes, 21 matched @ 0.3
 
 The precision floors are the round-5 addition (VERDICT r4): an artifact
 regression that sprays boxes — or a silently disabled line-union stage
@@ -103,30 +106,30 @@ def _prf(demo_boxes, iou):
 
 
 def test_h_recall_floor(demo_boxes):
-    """H recall >= 0.85 @ IoU 0.3 (measured 0.896; 48 golden boxes, so
-    each missed line costs ~0.021 — the floor allows two)."""
+    """H recall >= 0.87 @ IoU 0.3 (measured 0.938; 48 golden boxes, so
+    each missed line costs ~0.021 — the floor allows three)."""
     _, recall, _ = _prf(demo_boxes, 0.3)
-    assert recall >= 0.85, f"recall {recall:.3f}"
+    assert recall >= 0.87, f"recall {recall:.3f}"
 
 
 def test_h_precision_floor(demo_boxes):
-    """H precision >= 0.82 @ IoU 0.3 (measured 0.935). Catches both a
+    """H precision >= 0.87 @ IoU 0.3 (measured 0.957). Catches both a
     box-spraying artifact regression and a disabled line-union stage."""
     precision, _, _ = _prf(demo_boxes, 0.3)
-    assert precision >= 0.82, f"precision {precision:.3f}"
+    assert precision >= 0.87, f"precision {precision:.3f}"
 
 
 def test_h_f_measure_floor(demo_boxes):
-    """H F >= 0.84 @ 0.3 and >= 0.77 @ 0.5 (measured 0.915 / 0.851)."""
+    """H F >= 0.90 @ 0.3 and >= 0.82 @ 0.5 (measured 0.947 / 0.884)."""
     _, _, f3 = _prf(demo_boxes, 0.3)
     _, _, f5 = _prf(demo_boxes, 0.5)
-    assert f3 >= 0.84, f"F@0.3 {f3:.3f}"
-    assert f5 >= 0.77, f"F@0.5 {f5:.3f}"
+    assert f3 >= 0.90, f"F@0.3 {f3:.3f}"
+    assert f5 >= 0.82, f"F@0.5 {f5:.3f}"
 
 
 def test_h_per_image_box_budget(demo_boxes):
     """No image may emit more than 2x its golden count + 3 boxes
-    (round-5 measured worst case: 007 with 8 vs 5 golden). A per-image
+    (round-5b measured worst case: 007 with 7 vs 5 golden). A per-image
     budget localizes a fragmentation/spray regression the aggregate
     precision floor would smear across images."""
     for stem, cand in demo_boxes.items():
@@ -138,7 +141,7 @@ def test_h_per_image_box_budget(demo_boxes):
 
 def test_dense_cjk_008_line_coverage(demo_boxes):
     """008.jpg (dense ideograph label, EXIF-rotated): near-golden line
-    coverage must persist (measured 20 boxes / 18 matched @ IoU 0.5 vs 23
+    coverage must persist (measured 21 boxes / 19 matched @ IoU 0.5 vs 23
     golden). A near-empty result here is the signature of the EXIF-
     orientation regression or a corpus regression (no glyph-textured
     training data)."""
@@ -146,9 +149,26 @@ def test_dense_cjk_008_line_coverage(demo_boxes):
 
     cand, ref = demo_boxes["008"], _golden("008")
     assert len(ref) == 23  # the golden contract this test is written to
-    assert len(cand) >= 16, f"only {len(cand)} lines detected"
+    assert len(cand) >= 18, f"only {len(cand)} lines detected"
     m = match_boxes(cand, ref, iou_thresh=0.5)
-    assert m >= 15, f"only {m}/23 golden lines matched @ IoU 0.5"
+    assert m >= 17, f"only {m}/23 golden lines matched @ IoU 0.5"
+
+
+def test_low_contrast_009_full_recall(demo_boxes):
+    """009.jpg: all 5 golden lines matched @ IoU 0.3, including the
+    low-contrast yellow-on-road "your life" line at the bottom. The
+    round-5 photo-clutter fine-tune lost this line (4/5) because rust
+    -stain negatives overlapped the pale-yellow hue band; the round-5b
+    pale-warm positive tint (`data/synth.py::_text_fill`) recovered it
+    (5/5 @ both IoUs, stable under CPU and TPU numerics). This gate
+    locks the recovery: a corpus or fine-tune change that re-trades
+    this line away must fail loudly, not silently regress."""
+    from ctpn_tpu.eval import match_boxes
+
+    cand, ref = demo_boxes["009"], _golden("009")
+    assert len(ref) == 5  # the golden contract this test is written to
+    m = match_boxes(cand, ref, iou_thresh=0.3)
+    assert m >= 5, f"only {m}/5 golden lines matched @ IoU 0.3"
 
 
 def test_every_demo_image_detects_text(demo_boxes):
@@ -165,15 +185,15 @@ def test_every_demo_image_detects_text(demo_boxes):
 
 
 def test_o_recall_floor(demo_boxes_o):
-    """O hull recall >= 0.85 @ IoU 0.3 (measured 0.896)."""
+    """O hull recall >= 0.87 @ IoU 0.3 (measured 0.938)."""
     _, recall, _ = _prf(demo_boxes_o, 0.3)
-    assert recall >= 0.85, f"recall {recall:.3f}"
+    assert recall >= 0.87, f"recall {recall:.3f}"
 
 
 def test_o_precision_and_budget(demo_boxes_o):
-    """O precision >= 0.80 @ 0.3 (measured 0.935) + per-image budget."""
+    """O precision >= 0.85 @ 0.3 (measured 0.957) + per-image budget."""
     precision, _, _ = _prf(demo_boxes_o, 0.3)
-    assert precision >= 0.80, f"precision {precision:.3f}"
+    assert precision >= 0.85, f"precision {precision:.3f}"
     for stem, cand in demo_boxes_o.items():
         budget = 2 * len(_golden(stem)) + 3
         assert len(cand) <= budget, (
@@ -182,13 +202,13 @@ def test_o_precision_and_budget(demo_boxes_o):
 
 
 def test_o_dense_cjk_008(demo_boxes_o):
-    """008.jpg in O mode (measured 20 boxes, 20 matched @ 0.3)."""
+    """008.jpg in O mode (measured 21 boxes, 21 matched @ 0.3)."""
     from ctpn_tpu.eval import match_boxes
 
     cand = demo_boxes_o["008"]
-    assert len(cand) >= 16, f"only {len(cand)} lines detected"
+    assert len(cand) >= 18, f"only {len(cand)} lines detected"
     m = match_boxes(cand, _golden("008"), iou_thresh=0.3)
-    assert m >= 17, f"only {m}/23 golden lines matched @ IoU 0.3"
+    assert m >= 19, f"only {m}/23 golden lines matched @ IoU 0.3"
 
 
 def test_o_no_empty_images(demo_boxes_o):
