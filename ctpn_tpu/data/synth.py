@@ -364,6 +364,57 @@ def _render_line(
     return polys or None
 
 
+def _render_edge_clipped_line(
+    img: Image.Image,
+    rng: np.random.RandomState,
+) -> Optional[List[Tuple[float, ...]]]:
+    """One text line straddling an image border, GT clipped to the canvas.
+
+    Real photos crop text at the frame (006.jpg's top line occupies
+    y 0-30 in the reference goldens); `_render_line` always keeps a >=4 px
+    margin, so without this mode the detector never sees partially
+    visible glyphs at an edge and rejects them. PIL clips the off-canvas
+    part of the drawing; the GT keeps only the visible portion of each
+    word (>=40% of the line height or it is dropped)."""
+    width, height = img.size
+    size = int(rng.choice([24, 28, 32, 40, 48, 56, 72],
+                          p=[0.15, 0.15, 0.2, 0.18, 0.14, 0.1, 0.08]))
+    font = _pick_font(rng, size)
+    text = _line_text(rng)
+    probe = ImageDraw.Draw(img)
+    bbox = probe.textbbox((0, 0), text, font=font)
+    tw, th = bbox[2] - bbox[0], bbox[3] - bbox[1]
+    if tw >= width - 12 or th >= height - 12:
+        return None
+    edge = rng.choice(["top", "bottom", "left", "right"],
+                      p=[0.45, 0.25, 0.15, 0.15])
+    hidden = rng.uniform(0.2, 0.5)  # fraction of the line off-canvas
+    if edge in ("top", "bottom"):
+        x = rng.randint(4, max(5, width - tw - 8))
+        y = (-int(th * hidden) - bbox[1] if edge == "top"
+             else height - int(th * (1.0 - hidden)) - bbox[1])
+    else:
+        y = rng.randint(4, max(5, height - th - 8))
+        x = (-int(tw * hidden) if edge == "left"
+             else width - int(tw * (1.0 - hidden)))
+    fill = _text_fill(
+        rng, _mean_color(img, (max(x, 0), max(y, 0),
+                               min(x + tw, width), min(y + th, height)))
+    )
+    d = ImageDraw.Draw(img)
+    word_boxes = _word_boxes(d, text, font, x, y)
+    d.text((x, y), text, font=font, fill=fill)
+    polys = []
+    for x0, y0, x1, y1 in word_boxes:
+        cx0, cy0 = max(x0, 0.0), max(y0, 0.0)
+        cx1, cy1 = min(x1, float(width)), min(y1, float(height))
+        word_h = max(y1 - y0, 1.0)
+        if cx1 - cx0 < 4 or cy1 - cy0 < max(6.0, 0.4 * word_h):
+            continue
+        polys.append((cx0, cy0, cx1, cy0, cx1, cy1, cx0, cy1))
+    return polys or None
+
+
 def _render_glyph_line(
     img: Image.Image,
     rng: np.random.RandomState,
@@ -458,6 +509,11 @@ def render_image(
             if p is not None:
                 polys.extend(p)
                 break
+
+    if rng.rand() < 0.25:  # border-clipped line: text cut by the frame
+        p = _render_edge_clipped_line(img, rng)
+        if p is not None:
+            polys.extend(p)
 
     if rng.rand() < 0.25:
         img = img.filter(ImageFilter.GaussianBlur(rng.uniform(0.4, 1.2)))

@@ -9,15 +9,15 @@ ctpn_synth_f16.npz`) through the default demo surface (scale-aware
 line-union pass ON — postprocess/merge.py), so a corpus/training/EXIF/merge
 regression fails the suite instead of only degrading a doc.
 
-Round-5b measurements these floors are set ~5-10% under (docs/TRAINING.md
+Round-5c measurements these floors are set ~5-10% under (docs/TRAINING.md
 round 5; vs `/root/reference/data/results`; identical on TPU and CPU
 numerics):
 
-  H: P 0.957 / R 0.938 / F 0.947 @ IoU 0.3;  F 0.884 @ 0.5;  47 boxes
-     008.jpg: 21 boxes, 21 matched @ 0.3, 19 @ 0.5 (23 golden)
+  H: P 0.939 / R 0.958 / F 0.948 @ IoU 0.3;  F 0.907 @ 0.5;  49 boxes
+     008.jpg: 22 boxes, 22 matched @ 0.3, 21 @ 0.5 (23 golden)
      009.jpg: 5 boxes, 5/5 golden matched @ both IoUs (the low-contrast
      line recovered by the round-5b pale-warm corpus fine-tune)
-  O: identical summary (P 0.957 / R 0.938 / F 0.947 on hulls); 47 boxes
+  O: P 0.938 / R 0.938 / F 0.938 @ IoU 0.3 on hulls; 48 boxes
      008.jpg: 21 boxes, 21 matched @ 0.3
 
 The precision floors are the round-5 addition (VERDICT r4): an artifact
@@ -106,30 +106,30 @@ def _prf(demo_boxes, iou):
 
 
 def test_h_recall_floor(demo_boxes):
-    """H recall >= 0.87 @ IoU 0.3 (measured 0.938; 48 golden boxes, so
-    each missed line costs ~0.021 — the floor allows three)."""
+    """H recall >= 0.90 @ IoU 0.3 (measured 0.958; 48 golden boxes, so
+    each missed line costs ~0.021 — the floor allows two)."""
     _, recall, _ = _prf(demo_boxes, 0.3)
-    assert recall >= 0.87, f"recall {recall:.3f}"
+    assert recall >= 0.90, f"recall {recall:.3f}"
 
 
 def test_h_precision_floor(demo_boxes):
-    """H precision >= 0.87 @ IoU 0.3 (measured 0.957). Catches both a
+    """H precision >= 0.87 @ IoU 0.3 (measured 0.939). Catches both a
     box-spraying artifact regression and a disabled line-union stage."""
     precision, _, _ = _prf(demo_boxes, 0.3)
     assert precision >= 0.87, f"precision {precision:.3f}"
 
 
 def test_h_f_measure_floor(demo_boxes):
-    """H F >= 0.90 @ 0.3 and >= 0.82 @ 0.5 (measured 0.947 / 0.884)."""
+    """H F >= 0.91 @ 0.3 and >= 0.85 @ 0.5 (measured 0.948 / 0.907)."""
     _, _, f3 = _prf(demo_boxes, 0.3)
     _, _, f5 = _prf(demo_boxes, 0.5)
-    assert f3 >= 0.90, f"F@0.3 {f3:.3f}"
-    assert f5 >= 0.82, f"F@0.5 {f5:.3f}"
+    assert f3 >= 0.91, f"F@0.3 {f3:.3f}"
+    assert f5 >= 0.85, f"F@0.5 {f5:.3f}"
 
 
 def test_h_per_image_box_budget(demo_boxes):
     """No image may emit more than 2x its golden count + 3 boxes
-    (round-5b measured worst case: 007 with 7 vs 5 golden). A per-image
+    (round-5c measured worst case: 007 with 8 vs 5 golden). A per-image
     budget localizes a fragmentation/spray regression the aggregate
     precision floor would smear across images."""
     for stem, cand in demo_boxes.items():
@@ -141,7 +141,7 @@ def test_h_per_image_box_budget(demo_boxes):
 
 def test_dense_cjk_008_line_coverage(demo_boxes):
     """008.jpg (dense ideograph label, EXIF-rotated): near-golden line
-    coverage must persist (measured 21 boxes / 19 matched @ IoU 0.5 vs 23
+    coverage must persist (measured 22 boxes / 21 matched @ IoU 0.5 vs 23
     golden). A near-empty result here is the signature of the EXIF-
     orientation regression or a corpus regression (no glyph-textured
     training data)."""
@@ -149,9 +149,9 @@ def test_dense_cjk_008_line_coverage(demo_boxes):
 
     cand, ref = demo_boxes["008"], _golden("008")
     assert len(ref) == 23  # the golden contract this test is written to
-    assert len(cand) >= 18, f"only {len(cand)} lines detected"
+    assert len(cand) >= 19, f"only {len(cand)} lines detected"
     m = match_boxes(cand, ref, iou_thresh=0.5)
-    assert m >= 17, f"only {m}/23 golden lines matched @ IoU 0.5"
+    assert m >= 19, f"only {m}/23 golden lines matched @ IoU 0.5"
 
 
 def test_low_contrast_009_full_recall(demo_boxes):
@@ -185,13 +185,13 @@ def test_every_demo_image_detects_text(demo_boxes):
 
 
 def test_o_recall_floor(demo_boxes_o):
-    """O hull recall >= 0.87 @ IoU 0.3 (measured 0.938)."""
+    """O hull recall >= 0.88 @ IoU 0.3 (measured 0.938)."""
     _, recall, _ = _prf(demo_boxes_o, 0.3)
-    assert recall >= 0.87, f"recall {recall:.3f}"
+    assert recall >= 0.88, f"recall {recall:.3f}"
 
 
 def test_o_precision_and_budget(demo_boxes_o):
-    """O precision >= 0.85 @ 0.3 (measured 0.957) + per-image budget."""
+    """O precision >= 0.85 @ 0.3 (measured 0.938) + per-image budget."""
     precision, _, _ = _prf(demo_boxes_o, 0.3)
     assert precision >= 0.85, f"precision {precision:.3f}"
     for stem, cand in demo_boxes_o.items():
