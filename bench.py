@@ -67,7 +67,7 @@ def _real_batch(batch: int, bh: int, bw: int):
         else:
             arr, _ = render_image(rng, width=900, height=600)
             im = arr[..., ::-1]  # RGB -> BGR
-        data, info = prep_image(im, bucket=(bh, bw))
+        data, info, _pad = prep_image(im, bucket=(bh, bw))
         images.append(data)
         infos.append(info)
     return np.stack(images), np.stack(infos)

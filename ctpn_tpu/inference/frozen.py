@@ -264,14 +264,15 @@ class FrozenCTPN:
             raise ValueError("artifact has no batch-1 program")
         f2 = resize_factor(resized.shape[0], resized.shape[1],
                            m["test_scale"], m["test_max_size"])
-        data, info = prep_image(
+        data, info, pad = prep_image(
             resized, scale=m["test_scale"], max_scale=m["test_max_size"],
             bucket=pick_bucket(int(resized.shape[0] * f2),
                                int(resized.shape[1] * f2), buckets),
         )
         out = self.run_batch(data[None], info[None])
         recs, count = out[3], out[5]
-        return unscale_records(np.asarray(recs[0]), int(count[0]), f1, info)
+        return unscale_records(np.asarray(recs[0]), int(count[0]), f1, info,
+                               y_off=pad)
 
     def detect_path(self, path: str) -> np.ndarray:
         from ctpn_tpu.utils.image import load_image_bgr

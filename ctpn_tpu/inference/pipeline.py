@@ -28,15 +28,22 @@ from ctpn_tpu.postprocess.detector import detect_lines
 from ctpn_tpu.utils.image import load_image_bgr, prep_image, resize_im
 
 
-def unscale_records(recs: np.ndarray, count: int, f1: float, info) -> np.ndarray:
+def unscale_records(
+    recs: np.ndarray, count: int, f1: float, info, y_off: float = 0.0
+) -> np.ndarray:
     """Trim padded line records, apply the (config-gated) scale-aware
     line-union pass, and map boxes back to ORIGINAL image coords (the
     demo's double-resize contract, `demo.py:47-51`). Shared by the
-    single-image, streaming, serving, and frozen-artifact paths."""
+    single-image, streaming, serving, and frozen-artifact paths.
+
+    ``y_off`` undoes prep_image's TOP_PAD shift (resized-frame pixels):
+    boxes move back up and clip at the true top edge."""
     from ctpn_tpu.postprocess.merge import maybe_merge_line_records
 
     out = np.asarray(recs)[:count].astype(np.float64)
     out = maybe_merge_line_records(out)
+    if y_off and len(out):
+        out[:, 1:8:2] = np.maximum(out[:, 1:8:2] - y_off, 0.0)
     total_scale = f1 * float(info[2])
     if len(out):
         out[:, :8] /= total_scale
@@ -162,10 +169,11 @@ class CTPNPredictor:
         `demo.py:47-51`.
         """
         resized, f1 = resize_im(im_bgr, cfg.TEXT.SCALE, cfg.TEXT.MAX_SCALE)
-        data, info = prep_image(resized)
+        data, info, pad = prep_image(resized)
         props, lines = self.run_batch(data[None], info[None])
         return unscale_records(
-            np.asarray(lines.recs[0]), int(lines.count[0]), f1, info
+            np.asarray(lines.recs[0]), int(lines.count[0]), f1, info,
+            y_off=pad,
         )
 
     def detect_path(self, path: str) -> np.ndarray:
@@ -181,7 +189,7 @@ class CTPNPredictor:
         from ctpn_tpu.utils.host_ref import proposal_layer_np
 
         resized, f1 = resize_im(im_bgr, cfg.TEXT.SCALE, cfg.TEXT.MAX_SCALE)
-        data, info = prep_image(resized)
+        data, info, pad = prep_image(resized)
         if not hasattr(self, "_fwd_fns"):
             self._fwd_fns = {}
         shape = data.shape[:2]
@@ -206,13 +214,7 @@ class CTPNPredictor:
             info,
             mode=self.mode,
         ).astype(np.float64)
-        from ctpn_tpu.postprocess.merge import maybe_merge_line_records
-
-        recs = maybe_merge_line_records(recs)
-        total_scale = f1 * float(info[2])
-        if len(recs):
-            recs[:, :8] /= total_scale
-        return recs
+        return unscale_records(recs, len(recs), f1, info, y_off=pad)
 
     def warmup(self, bucket: Optional[Tuple[int, int]] = None, batch: int = 1):
         """Compile-and-run on a gray dummy image (reference `demo.py:95-97`)."""

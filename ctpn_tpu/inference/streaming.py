@@ -28,7 +28,8 @@ from ctpn_tpu.inference.pipeline import CTPNPredictor, unscale_records
 from ctpn_tpu.utils.image import load_image_bgr, resize_im
 
 
-class _Prepped(collections.namedtuple("_Prepped", "path image info f1 orig_shape")):
+class _Prepped(collections.namedtuple(
+        "_Prepped", "path image info f1 orig_shape pad")):
     pass
 
 
@@ -46,8 +47,8 @@ def _prep_worker(paths_q, out_q, stop):
             # second-stage TEST resize factor is folded by prep on bucket pad
             from ctpn_tpu.utils.image import prep_image
 
-            data, info = prep_image(resized)
-            out_q.put(_Prepped(path, data, info, f1, im.shape[:2]))
+            data, info, pad = prep_image(resized)
+            out_q.put(_Prepped(path, data, info, f1, im.shape[:2], pad))
         except Exception as e:  # pragma: no cover
             out_q.put(e)
 
@@ -89,7 +90,7 @@ def stream_detect(
         recs_all = np.asarray(lines.recs)
         for b, it in enumerate(items):
             yield it.path, unscale_records(
-                recs_all[b], int(counts[b]), it.f1, it.info
+                recs_all[b], int(counts[b]), it.f1, it.info, y_off=it.pad
             )
 
     try:

@@ -45,14 +45,16 @@ from ctpn_tpu.utils.image import prep_image, resize_im, rgb_to_bgr
 
 
 class _Pending:
-    __slots__ = ("image", "info", "f1", "orig_shape", "deadline", "event",
-                 "result", "error")
+    __slots__ = ("image", "info", "f1", "orig_shape", "pad", "deadline",
+                 "event", "result", "error")
 
-    def __init__(self, image, info, f1, orig_shape, deadline=float("inf")):
+    def __init__(self, image, info, f1, orig_shape, pad=0,
+                 deadline=float("inf")):
         self.image = image
         self.info = info
         self.f1 = f1
         self.orig_shape = orig_shape
+        self.pad = pad
         self.deadline = deadline  # monotonic time; expired items are shed
         self.event = threading.Event()
         self.result: Optional[np.ndarray] = None
@@ -195,7 +197,8 @@ class MicroBatcher(threading.Thread):
                 self.images_run += len(live)
                 for b, it in enumerate(live):
                     it.result = unscale_records(
-                        recs_all[b], int(counts[b]), it.f1, it.info
+                        recs_all[b], int(counts[b]), it.f1, it.info,
+                        y_off=it.pad,
                     )
                     it.event.set()
                     done = b + 1
@@ -296,9 +299,9 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception:
             return self._json(400, {"error": "undecodable image"})
         resized, f1 = resize_im(im, cfg.TEXT.SCALE, cfg.TEXT.MAX_SCALE)
-        data, info = prep_image(resized)
+        data, info, pad = prep_image(resized)
         item = _Pending(
-            data, info, f1, im.shape[:2],
+            data, info, f1, im.shape[:2], pad=pad,
             deadline=time.monotonic() + self.server.request_timeout_s,
         )
         self.server.batcher.submit(item)

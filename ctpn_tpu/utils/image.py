@@ -63,15 +63,25 @@ def prep_image(
     scale: int = None,
     max_scale: int = None,
     bucket: Tuple[int, int] = None,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """RGB/BGR uint8 image -> (padded uint8 BGR image, im_info).
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """RGB/BGR uint8 image -> (padded uint8 BGR image, im_info, top_pad).
 
     Returns (bucket_h, bucket_w, 3) uint8 (NOT mean-subtracted — float
     conversion and normalization fuse on device; uint8 is the wire format,
-    4x less host->device traffic than float32) and im_info
-    [true_h, true_w, resize_factor]. Input is expected BGR to match the
-    reference's cv2 convention; callers loading via PIL should pass
-    ``rgb_to_bgr`` first.
+    4x less host->device traffic than float32), im_info
+    [content_h, true_w, resize_factor], and the applied top pad in pixels.
+    Input is expected BGR to match the reference's cv2 convention; callers
+    loading via PIL should pass ``rgb_to_bgr`` first.
+
+    ``cfg.TEST.TOP_PAD`` shifts the content down by up to that many pixels
+    inside the bucket and fills the gap with the image's own reflected top
+    rows, so the first feature row sees real context instead of the zero
+    pad (frame-clipped text at y 0 is otherwise scored without any
+    receptive-field support above it). The shift consumes bucket padding
+    headroom only — the bucket choice and therefore the compiled program
+    are unchanged — and is undone on the host via ``unscale_records``'s
+    ``y_off``. im_info's content height includes the pad so on-device
+    clipping covers the shifted content.
     """
     # defaults mirror the TEST-stage resize (`test.py:18-24`); the demo CLI
     # additionally applies the TEXT.SCALE/MAX_SCALE pre-resize first, like
@@ -83,10 +93,19 @@ def prep_image(
     # clip to the hard cap in case of fallback bucket
     bh, bw = bucket if bucket is not None else pick_bucket(h, w)
     h2, w2 = min(h, bh), min(w, bw)
+    pad = max(0, min(int(cfg.TEST.TOP_PAD), bh - h2))
     out = np.zeros((bh, bw, 3), dtype=np.uint8)
-    out[:h2, :w2] = resized[:h2, :w2]
-    im_info = np.array([h2, w2, f], dtype=np.float32)
-    return out, im_info
+    out[pad:pad + h2, :w2] = resized[:h2, :w2]
+    if pad:
+        # fill with the mean color of the top rows, NOT a reflection: a
+        # mirror copies real glyphs into the pad band, and the classifier
+        # + connector then hallucinate phantom lines there; a flat
+        # scene-colored band gives the row-0/1 cells receptive-field
+        # support without text-like structure
+        top = min(h2, 2 * max(pad, 16))
+        out[:pad, :w2] = resized[:top, :w2].mean(axis=(0, 1)).astype(np.uint8)
+    im_info = np.array([h2 + pad, w2, f], dtype=np.float32)
+    return out, im_info, pad
 
 
 def rgb_to_bgr(im: np.ndarray) -> np.ndarray:
@@ -109,11 +128,12 @@ def load_image_bgr(path: str) -> np.ndarray:
 
 def batch_images(
     images: List[np.ndarray], bucket: Tuple[int, int] = None
-) -> Tuple[np.ndarray, np.ndarray]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Prep + stack a list of BGR uint8 images into one bucket batch.
 
     All images share the largest needed bucket (callers group by bucket for
-    efficiency — see data/pipeline.py).
+    efficiency — see data/pipeline.py). Returns (data, infos, top_pads);
+    pass each image's pad to ``unscale_records``'s ``y_off``.
     """
     preps = [prep_image(im, bucket=bucket) for im in images]
     if bucket is None:
@@ -122,4 +142,5 @@ def batch_images(
         preps = [prep_image(im, bucket=(bh, bw)) for im in images]
     data = np.stack([p[0] for p in preps])
     infos = np.stack([p[1] for p in preps])
-    return data, infos
+    pads = np.array([p[2] for p in preps], dtype=np.int32)
+    return data, infos, pads

@@ -42,7 +42,7 @@ def _payload_pool(n: int, bh: int, bw: int):
     pool = []
     for _ in range(n):
         arr, _ = render_image(rng, width=900, height=600)
-        data, info = prep_image(arr[..., ::-1], bucket=(bh, bw))
+        data, info, _pad = prep_image(arr[..., ::-1], bucket=(bh, bw))
         pool.append((data, info))
     return pool
 

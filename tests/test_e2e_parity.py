@@ -53,7 +53,7 @@ def test_device_vs_host_postprocess(small_env, rng):
     from ctpn_tpu.utils.image import prep_image, resize_im
 
     resized, f1 = resize_im(im, cfg.TEXT.SCALE, cfg.TEXT.MAX_SCALE)
-    data, info = prep_image(resized)
+    data, info, _pad = prep_image(resized)
     props, lines = predictor.run_batch(data[None], np.asarray(info)[None])
     count = int(props.count[0])
     rois = np.asarray(props.rois[0])[:count]
@@ -87,3 +87,38 @@ def test_device_vs_host_postprocess(small_env, rng):
         a = dev_scaled[np.lexsort((dev_scaled[:, 1], dev_scaled[:, 0]))]
         b = host_recs[np.lexsort((host_recs[:, 1], host_recs[:, 0]))]
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=0.5)
+
+
+def test_device_vs_host_postprocess_with_top_pad(small_env, rng):
+    """TEST.TOP_PAD opt-in: both the device contract (detect_image) and
+    the host-oracle contract (detect_image_host) pad the top identically
+    and undo the shift via unscale_records' y_off — so full-path parity
+    must hold under the pad, and every returned y must be in-bounds."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctpn_tpu.inference.pipeline import CTPNPredictor
+    from ctpn_tpu.models.factory import get_network
+
+    cfg.TEST.TOP_PAD = 16
+    cfg.TEXT.LINE_MERGE_GAP_RATIO = 0.0
+    # random-init heads hover near 0.5 — lower the score gates so the
+    # pipeline actually emits lines and the parity check is non-vacuous
+    cfg.TEXT.TEXT_PROPOSALS_MIN_SCORE = 0.4
+    cfg.TEXT.LINE_MIN_SCORE = 0.3
+
+    model = get_network("VGGnet_test")
+    params = model.init(
+        jax.random.PRNGKey(7), jnp.zeros((1, 64, 96, 3), jnp.float32)
+    )["params"]
+    predictor = CTPNPredictor(params, mode="H")
+    im = rng.randint(0, 255, (96, 128, 3)).astype(np.uint8)
+
+    dev = predictor.detect_image(im)
+    host = predictor.detect_image_host(im)
+    assert len(dev) == len(host)
+    assert len(dev) > 0  # gates lowered so the comparison is real
+    a = dev[np.lexsort((dev[:, 1], dev[:, 0]))]
+    b = host[np.lexsort((host[:, 1], host[:, 0]))]
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=0.5)
+    assert (a[:, 1:8:2] >= 0).all() and (a[:, 1:8:2] <= im.shape[0]).all()

@@ -37,9 +37,11 @@ def _run_demo_to_dir(out_dir, mode: str):
     from ctpn_tpu.utils.weights import load_params
 
     # reference-exact output: the goldens are the reference connector's raw
-    # lines; the scale-aware line-union stage must be off for this gate
-    # (postprocess/merge.py docstring). conftest's _fresh_cfg restores it.
+    # lines; the scale-aware line-union stage AND the top reflect-pad must
+    # be off for this gate (postprocess/merge.py + utils/image.py
+    # docstrings). conftest's _fresh_cfg restores both.
     cfg.TEXT.LINE_MERGE_GAP_RATIO = 0.0
+    cfg.TEST.TOP_PAD = 0
     predictor = CTPNPredictor(load_params(ARTIFACT), mode=mode)
     paths = sorted(
         sum((glob.glob(osp.join(REF_DEMO, e)) for e in ("*.jpg", "*.png")), [])

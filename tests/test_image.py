@@ -41,15 +41,42 @@ def test_pick_bucket_smallest_fitting():
 
 def test_prep_image_pads_and_reports_true_extent(rng):
     im = rng.randint(0, 255, (300, 450, 3)).astype(np.uint8)
-    data, info = prep_image(im)
+    data, info, pad = prep_image(im)
     bh, bw = data.shape[:2]
     assert (bh, bw) in {tuple(b) for b in cfg.TPU.BUCKETS}
     th, tw, f = info
+    assert pad == 0  # TOP_PAD defaults off: reference-exact layout
     assert th == 600 and tw == 900
     # padding region is zero
     assert (data[int(th):, :, :] == 0).all()
     assert (data[:, int(tw):, :] == 0).all()
     assert data[: int(th), : int(tw)].max() > 0
+
+
+def test_prep_image_top_pad_opt_in(rng):
+    """With TEST.TOP_PAD set, the content shifts down inside the SAME
+    bucket (program shapes unchanged), the band above is one flat
+    mean-of-top-rows color (a mirror would copy glyphs in and spawn
+    phantom lines), im_info covers the shifted content, and the returned
+    pad is bounded by the bucket headroom."""
+    im = rng.randint(0, 255, (300, 450, 3)).astype(np.uint8)
+    from ctpn_tpu.config import cfg as _cfg
+
+    old = _cfg.TEST.TOP_PAD
+    try:
+        _cfg.TEST.TOP_PAD = 16
+        data, info, pad = prep_image(im)
+    finally:
+        _cfg.TEST.TOP_PAD = old
+    resized_h = 600
+    bh = data.shape[0]
+    assert pad == min(16, bh - resized_h) and pad > 0
+    assert info[0] == resized_h + pad
+    band = data[:pad, :900].reshape(-1, 3)
+    assert (band == band[0]).all()  # flat color, no glyph structure
+    data0, info0, pad0 = prep_image(im)  # default: reference-exact
+    assert pad0 == 0 and info0[0] == resized_h
+    np.testing.assert_array_equal(data0[:resized_h], data[pad:pad + resized_h])
 
 
 def test_rgb_bgr_flip(rng):
@@ -62,9 +89,10 @@ def test_batch_images_common_bucket(rng):
         rng.randint(0, 255, (300, 450, 3)).astype(np.uint8),
         rng.randint(0, 255, (330, 440, 3)).astype(np.uint8),
     ]
-    data, infos = batch_images(ims)
+    data, infos, pads = batch_images(ims)
     assert data.shape[0] == 2
     assert infos.shape == (2, 3)
+    assert pads.shape == (2,)
     assert data.shape[1:3] in {tuple(b) for b in cfg.TPU.BUCKETS}
 
 
